@@ -1,0 +1,209 @@
+"""Functional Qwen3/Llama-family target model with mid-layer feature taps.
+
+Pure-pytree parameters (layers stacked on a leading axis, forward is a single
+``lax.scan``), designed so the verify pass of the speculative loop is one
+fixed-shape jitted call.  The hidden states of the configured tap layers are
+captured during the scan and concatenated along the feature axis — the
+TPU-native equivalent of the reference's ``output_hidden_states=True`` +
+``extract_context_feature`` (reference model/utils.py:16-25; the tap at
+``hidden_states[layer_id + 1]`` means *output of layer ``layer_id``*, i.e.
+after that layer's residual adds and before the final norm).
+
+Covers Qwen3 dense (q/k per-head RMSNorm), Llama-3.1 (no qk-norm, llama3 rope
+scaling), and Qwen3-MoE (top-k routed experts, Qwen3-Coder-30B-A3B shapes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dflash_tpu.cache.kv import KVCache, update_layer
+from dflash_tpu.core.config import ModelConfig
+from dflash_tpu.ops.attention import gqa_attention
+from dflash_tpu.ops.norms import rms_norm
+from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+class ForwardResult(NamedTuple):
+    hidden: jax.Array  # [B, S, H] — final-norm'd hidden states
+    taps: jax.Array  # [B, S, n_taps * H] — concatenated tap-layer outputs
+    kv: KVCache
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def init_layer_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
+    """Stacked decoder-layer parameters, leading axis = layer."""
+    L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = iter(jax.random.split(key, 16))
+
+    def w(shape, k):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    params = {
+        "input_ln": jnp.ones((L, H), dtype),
+        "post_ln": jnp.ones((L, H), dtype),
+        "wq": w((L, H, nh * d), next(keys)),
+        "wk": w((L, H, nkv * d), next(keys)),
+        "wv": w((L, H, nkv * d), next(keys)),
+        "wo": w((L, nh * d, H), next(keys)),
+    }
+    if cfg.use_qk_norm:
+        params["q_norm"] = jnp.ones((L, d), dtype)
+        params["k_norm"] = jnp.ones((L, d), dtype)
+    if cfg.is_moe:
+        E, Im = cfg.num_experts, cfg.moe_intermediate_size
+        params["router"] = w((L, H, E), next(keys))
+        params["gate"] = w((L, E, H, Im), next(keys))
+        params["up"] = w((L, E, H, Im), next(keys))
+        params["down"] = w((L, E, Im, H), next(keys))
+    else:
+        params["gate"] = w((L, H, I), next(keys))
+        params["up"] = w((L, H, I), next(keys))
+        params["down"] = w((L, I, H), next(keys))
+    return params
+
+
+def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    params = {
+        "embed": (jax.random.normal(k_embed, (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02).astype(dtype),
+        "layers": init_layer_params(k_layers, cfg, dtype),
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(k_head, (cfg.hidden_size, cfg.vocab_size), jnp.float32) * 0.02
+        ).astype(dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def embed(params: dict, token_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], token_ids, axis=0)
+
+
+def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
+    """Logits in float32 ([..., V])."""
+    w = params["lm_head"] if "lm_head" in params else params["embed"].T
+    return jnp.einsum("...h,hv->...v", hidden, w, preferred_element_type=jnp.float32)
+
+
+def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Top-k routed expert MLP (Qwen3-MoE semantics: softmax over all experts,
+    top-k, optional renormalisation of the selected weights)."""
+    b, s, h = x.shape
+    xt = x.reshape(b * s, h)
+    router_logits = jnp.einsum("th,he->te", xt, lp["router"], preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topk_p, topk_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)  # [T, k]
+    if cfg.norm_topk_prob:
+        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+    # Gather the selected experts' weights per token.  For the tiny token
+    # counts of a verify/decode step this reads only the active experts.
+    gate_w = jnp.take(lp["gate"], topk_i, axis=0)  # [T, k, H, Im]
+    up_w = jnp.take(lp["up"], topk_i, axis=0)
+    down_w = jnp.take(lp["down"], topk_i, axis=0)  # [T, k, Im, H]
+    g = jnp.einsum("th,tkhi->tki", xt, gate_w, preferred_element_type=jnp.float32)
+    u = jnp.einsum("th,tkhi->tki", xt, up_w, preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(g) * u).astype(x.dtype)
+    out = jnp.einsum("tki,tkih->tkh", act, down_w, preferred_element_type=jnp.float32)
+    out = jnp.sum(out * topk_p[..., None], axis=1)
+    return out.astype(x.dtype).reshape(b, s, h)
+
+
+def _dense_mlp(lp: dict, x: jax.Array) -> jax.Array:
+    g = jnp.einsum("bsh,hi->bsi", x, lp["gate"], preferred_element_type=jnp.float32)
+    u = jnp.einsum("bsh,hi->bsi", x, lp["up"], preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(g) * u).astype(x.dtype)
+    return jnp.einsum("bsi,ih->bsh", act, lp["down"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    embeds: jax.Array,  # [B, S, H]
+    positions: jax.Array,  # [B, S] int32 absolute positions
+    kv: KVCache,
+    write_pos: jax.Array,  # scalar int32: cache row of embeds[:, 0]
+    mask: jax.Array,  # bool [S, T] or [B, S, T] over the FULL cache buffer
+    tap_ids: Tuple[int, ...] = (),
+) -> ForwardResult:
+    """One target forward over S tokens, writing K/V at ``write_pos``.
+
+    The attention keys are the whole cache buffer *after* this call's write,
+    masked by ``mask`` (the caller encodes causality + the valid frontier).
+    """
+    B, S, H = embeds.shape
+    nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    scale = d ** -0.5
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta, cfg.rope_scaling)
+
+    lp = params["layers"]
+    L = cfg.num_hidden_layers
+    n_taps = len(tap_ids)
+    # tap_slots[l] = index of layer l in tap_ids, or -1.
+    slot_of = {l: i for i, l in enumerate(tap_ids)}
+    tap_slots = jnp.asarray([slot_of.get(l, -1) for l in range(L)], jnp.int32)
+    taps0 = jnp.zeros((max(n_taps, 1), B, S, H), embeds.dtype)
+
+    def layer_step(carry, xs):
+        hidden, taps = carry
+        p, k_cache, v_cache, slot = xs
+
+        h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
+        q = jnp.einsum("bsh,hd->bsd", h_norm, p["wq"], preferred_element_type=jnp.float32)
+        q = q.reshape(B, S, nh, d).astype(hidden.dtype)
+        k = jnp.einsum("bsh,hd->bsd", h_norm, p["wk"], preferred_element_type=jnp.float32)
+        k = k.reshape(B, S, nkv, d).astype(hidden.dtype)
+        v = jnp.einsum("bsh,hd->bsd", h_norm, p["wv"], preferred_element_type=jnp.float32)
+        v = v.reshape(B, S, nkv, d).astype(hidden.dtype)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_cache, v_cache = update_layer(k_cache, v_cache, k, v, write_pos)
+        attn = gqa_attention(q, k_cache, v_cache, mask, scale)
+        attn = jnp.einsum("bsd,dh->bsh", attn, p["wo"], preferred_element_type=jnp.float32).astype(hidden.dtype)
+        hidden = hidden + attn
+
+        h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
+        mlp_out = _moe_mlp(p, cfg, h_norm2) if cfg.is_moe else _dense_mlp(p, h_norm2)
+        hidden = hidden + mlp_out
+
+        if n_taps > 0:
+            updated = jax.lax.dynamic_update_index_in_dim(
+                taps, hidden, jnp.maximum(slot, 0), 0
+            )
+            taps = jnp.where(slot >= 0, updated, taps)
+        return (hidden, taps), (k_cache, v_cache)
+
+    (hidden, taps), (k_new, v_new) = jax.lax.scan(
+        layer_step, (embeds, taps0), (lp, kv.k, kv.v, tap_slots)
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    taps_concat = jnp.moveaxis(taps, 0, -2).reshape(B, S, max(n_taps, 1) * H)
+    return ForwardResult(hidden=hidden, taps=taps_concat, kv=KVCache(k_new, v_new))
+
+
+def causal_mask(q_positions: jax.Array, cache_len: int) -> jax.Array:
+    """[S, T] mask: key row s attendable iff s <= q_pos.
+
+    Because cache rows are indexed by absolute position and each cycle's
+    writes land *before* attention, `s <= q_pos` alone guarantees every
+    attended row holds a committed token or the current block (stale rows from
+    rejected drafts always sit at positions > q_pos or are overwritten first).
+    """
+    key_pos = jnp.arange(cache_len, dtype=jnp.int32)[None, :]
+    return key_pos <= q_positions.astype(jnp.int32)[:, None]

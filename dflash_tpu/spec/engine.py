@@ -1,0 +1,464 @@
+"""The draft -> verify -> accept speculative decoding engine.
+
+The reference implements this loop host-side with a device sync every cycle
+(the ``.item()`` acceptance readback, reference benchmark.py:163, and
+``torch.cuda.synchronize`` in ``cuda_time``, benchmark.py:39-41).  Here the
+*entire decode* — every draft forward, verify forward, acceptance test, KV
+frontier update and EOS check — runs on-device inside one jitted
+``lax.while_loop``; the host only sees the final token buffer and the
+per-cycle acceptance trace.
+
+Cycle anatomy (mirrors reference benchmark.py:94-194 semantically):
+  1. slice the current block (bonus token + mask tokens) from the output buf
+  2. project the newly committed feature rows into the draft context cache
+     (a sliding B-row window ending at the frontier — rewrites are idempotent)
+  3. draft forward over the noise block; target lm_head on rows 1..B-1;
+     greedy draft tokens fill block[1:]
+  4. target verify forward over the block (causal, KV written at frontier)
+  5. acceptance = longest prefix of draft tokens matching the target's
+     posterior (cumprod rule); commit accepted prefix + bonus token
+  6. write the verify pass's tap features at the frontier (recycling,
+     reference benchmark.py:189); advance frontier; EOS check on the
+     committed tokens
+
+KV "crop" (reference benchmark.py:187) is implicit: caches are indexed by
+absolute position and masked by the frontier, so rollback costs nothing.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dflash_tpu.cache.kv import KVCache, init_kv_cache
+from dflash_tpu.core.config import DraftConfig, ModelConfig
+from dflash_tpu.models import dflash_draft, qwen3
+from dflash_tpu.ops.sampling import acceptance_length, sample
+
+
+class LoopState(NamedTuple):
+    output_ids: jax.Array  # [1, T] int32; committed prefix + mask_id tail
+    start: jax.Array  # [] int32 frontier: next block start; row `start` holds the bonus token
+    done: jax.Array  # [] bool — a stop token was committed
+    cycle_idx: jax.Array  # [] int32
+    acc_trace: jax.Array  # [C] int32 — tau per cycle
+    key: jax.Array
+    t_kv: KVCache
+    d_kv: KVCache
+    features: jax.Array  # [1, T, n_taps * H] target tap features per position
+
+
+class GenerationResult(NamedTuple):
+    output_ids: np.ndarray  # [1, L] trimmed (prompt + generation)
+    num_input_tokens: int
+    num_output_tokens: int
+    time_to_first_token: float
+    time_per_output_token: float
+    acceptance_lengths: list
+    decode_wall_s: float
+
+
+# ---------------------------------------------------------------------------
+# jitted stages
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles"),
+)
+def _prefill(
+    t_params,
+    d_params,
+    input_ids: jax.Array,  # [1, P] padded with zeros beyond prompt_len
+    prompt_len: jax.Array,  # [] int32
+    temperature: jax.Array,
+    key: jax.Array,
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    total_len: int,
+    max_cycles: int,
+) -> LoopState:
+    """Target prefill + first-token sample + draft context prefill.
+
+    Mirrors reference benchmark.py:70-83 (``logits_to_keep=1`` -> lm_head on
+    the last prompt row only) plus the draft-side context projection that the
+    reference performs lazily inside the first cycle.
+    """
+    P = input_ids.shape[1]
+    H = tcfg.hidden_size
+    key, k_sample = jax.random.split(key)
+
+    dtype = t_params["embed"].dtype
+    t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
+    d_kv = init_kv_cache(dcfg.model, 1, total_len, dtype)
+
+    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    embeds = qwen3.embed(t_params, input_ids)
+    mask = qwen3.causal_mask(positions[0], total_len)
+    res = qwen3.forward(
+        t_params, tcfg, embeds, positions, t_kv,
+        jnp.zeros((), jnp.int32), mask, tap_ids=dcfg.target_layer_ids,
+    )
+    last_hidden = jax.lax.dynamic_slice_in_dim(res.hidden, prompt_len - 1, 1, axis=1)
+    first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)  # [1,1]
+
+    output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
+    prompt_row = jnp.where(
+        jnp.arange(P)[None, :] < prompt_len, input_ids.astype(jnp.int32), dcfg.mask_token_id
+    )
+    output_ids = jax.lax.dynamic_update_slice(output_ids, prompt_row, (0, 0))
+    output_ids = output_ids.at[0, prompt_len].set(first_token[0, 0])
+
+    features = jnp.zeros((1, total_len, dcfg.num_taps * H), res.taps.dtype)
+    features = jax.lax.dynamic_update_slice(features, res.taps, (0, 0, 0))
+
+    d_kv = dflash_draft.append_ctx(
+        d_params, dcfg, d_kv, res.taps, positions, jnp.zeros((), jnp.int32)
+    )
+
+    return LoopState(
+        output_ids=output_ids,
+        start=prompt_len.astype(jnp.int32),
+        done=jnp.zeros((), bool),
+        cycle_idx=jnp.zeros((), jnp.int32),
+        acc_trace=jnp.zeros((max_cycles,), jnp.int32),
+        key=key,
+        t_kv=res.kv,
+        d_kv=d_kv,
+        features=features,
+    )
+
+
+def _cycle(
+    state: LoopState,
+    t_params,
+    d_params,
+    temperature: jax.Array,
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    block_size: int,
+    stop_token_ids: Tuple[int, ...],
+) -> LoopState:
+    B = block_size
+    T = state.output_ids.shape[1]
+    start = state.start
+    key, k_post = jax.random.split(state.key)
+
+    block = jax.lax.dynamic_slice(state.output_ids, (0, start), (1, B))  # [1, B]
+    block_positions = start + jnp.arange(B, dtype=jnp.int32)[None, :]
+
+    # -- draft context append: B-row window ending at the frontier ----------
+    w0 = jnp.clip(start - B, 0, T - B)
+    feats_w = jax.lax.dynamic_slice(
+        state.features, (0, w0, 0), (1, B, state.features.shape[2])
+    )
+    w_positions = w0 + jnp.arange(B, dtype=jnp.int32)[None, :]
+    d_kv = dflash_draft.append_ctx(d_params, dcfg, state.d_kv, feats_w, w_positions, w0)
+
+    # -- draft forward: unmask the whole block in one pass ------------------
+    noise_embeds = qwen3.embed(t_params, block)  # target embeddings, benchmark.py:116
+    d_hidden = dflash_draft.forward(
+        d_params, dcfg, noise_embeds, block_positions, d_kv, start
+    )
+    # Target lm_head on rows 1..B-1, greedy draft (reference benchmark.py:130-140).
+    draft_logits = qwen3.lm_head(t_params, d_hidden[:, 1:])
+    draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
+    block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
+
+    # -- verify forward -----------------------------------------------------
+    v_embeds = qwen3.embed(t_params, block)
+    v_mask = qwen3.causal_mask(block_positions[0], T)
+    res = qwen3.forward(
+        t_params, tcfg, v_embeds, block_positions, state.t_kv, start, v_mask,
+        tap_ids=dcfg.target_layer_ids,
+    )
+    posterior = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)  # [1, B]
+
+    # -- accept + commit ----------------------------------------------------
+    acc = acceptance_length(block[:, 1:], posterior)[0]  # [] int32
+    tau = acc + 1
+    idx = jnp.arange(B + 1, dtype=jnp.int32)
+    commit = jnp.where(idx[None, :B] <= acc, block, dcfg.mask_token_id)
+    commit = jnp.concatenate(
+        [commit, jnp.full((1, 1), dcfg.mask_token_id, jnp.int32)], axis=1
+    )
+    bonus = jnp.take(posterior[0], acc)
+    commit = commit.at[0, tau].set(bonus)  # bonus token at the new frontier
+    output_ids = jax.lax.dynamic_update_slice(state.output_ids, commit, (0, start))
+
+    committed_mask = idx[None, :] <= tau
+    eos_hit = jnp.zeros((), bool)
+    for sid in stop_token_ids:
+        eos_hit = eos_hit | jnp.any((commit == sid) & committed_mask)
+
+    # -- recycle verify features (reference benchmark.py:189) ---------------
+    features = jax.lax.dynamic_update_slice(state.features, res.taps, (0, start, 0))
+
+    acc_trace = jax.lax.dynamic_update_index_in_dim(
+        state.acc_trace, tau, state.cycle_idx, 0
+    )
+    return LoopState(
+        output_ids=output_ids,
+        start=start + tau,
+        done=state.done | eos_hit,
+        cycle_idx=state.cycle_idx + 1,
+        acc_trace=acc_trace,
+        key=key,
+        t_kv=res.kv,
+        d_kv=d_kv,
+        features=features,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles"),
+)
+def _decode(
+    t_params,
+    d_params,
+    state: LoopState,
+    max_length: jax.Array,  # [] int32 = prompt_len + max_new_tokens
+    temperature: jax.Array,
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    block_size: int,
+    stop_token_ids: Tuple[int, ...],
+    max_cycles: int,
+) -> LoopState:
+    def cond(s: LoopState):
+        return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
+
+    def body(s: LoopState):
+        return _cycle(
+            s, t_params, d_params, temperature,
+            tcfg=tcfg, dcfg=dcfg, block_size=block_size,
+            stop_token_ids=stop_token_ids,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive baseline (reference block_size=1 path, benchmark.py:104-108:
+# draft skipped, one token per cycle — the built-in correctness oracle).
+# ---------------------------------------------------------------------------
+
+class ARState(NamedTuple):
+    output_ids: jax.Array
+    start: jax.Array
+    done: jax.Array
+    key: jax.Array
+    t_kv: KVCache
+
+
+@partial(jax.jit, static_argnames=("tcfg", "total_len", "mask_token_id"))
+def _ar_prefill(
+    t_params, input_ids, prompt_len, temperature, key,
+    *, tcfg: ModelConfig, total_len: int, mask_token_id: int,
+) -> ARState:
+    P = input_ids.shape[1]
+    key, k_sample = jax.random.split(key)
+    t_kv = init_kv_cache(tcfg, 1, total_len, t_params["embed"].dtype)
+    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    embeds = qwen3.embed(t_params, input_ids)
+    mask = qwen3.causal_mask(positions[0], total_len)
+    res = qwen3.forward(t_params, tcfg, embeds, positions, t_kv, jnp.zeros((), jnp.int32), mask)
+    last_hidden = jax.lax.dynamic_slice_in_dim(res.hidden, prompt_len - 1, 1, axis=1)
+    first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)
+    output_ids = jnp.full((1, total_len), mask_token_id, jnp.int32)
+    prompt_row = jnp.where(
+        jnp.arange(P)[None, :] < prompt_len, input_ids.astype(jnp.int32), mask_token_id
+    )
+    output_ids = jax.lax.dynamic_update_slice(output_ids, prompt_row, (0, 0))
+    output_ids = output_ids.at[0, prompt_len].set(first_token[0, 0])
+    return ARState(output_ids, prompt_len.astype(jnp.int32), jnp.zeros((), bool), key, res.kv)
+
+
+@partial(jax.jit, static_argnames=("tcfg", "stop_token_ids"))
+def _ar_decode(
+    t_params, state: ARState, max_length, temperature,
+    *, tcfg: ModelConfig, stop_token_ids: Tuple[int, ...],
+) -> ARState:
+    T = state.output_ids.shape[1]
+
+    def cond(s: ARState):
+        return (s.start < max_length) & (~s.done)
+
+    def body(s: ARState):
+        key, k_post = jax.random.split(s.key)
+        tok = jax.lax.dynamic_slice(s.output_ids, (0, s.start), (1, 1))
+        positions = s.start[None, None] * jnp.ones((1, 1), jnp.int32)
+        embeds = qwen3.embed(t_params, tok)
+        mask = qwen3.causal_mask(positions[0], T)
+        res = qwen3.forward(t_params, tcfg, embeds, positions, s.t_kv, s.start, mask)
+        nxt = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)[0, 0]
+        output_ids = s.output_ids.at[0, s.start + 1].set(nxt)
+        eos = jnp.zeros((), bool)
+        for sid in stop_token_ids:
+            eos = eos | (nxt == sid) | (tok[0, 0] == sid)
+        return ARState(output_ids, s.start + 1, s.done | eos, key, res.kv)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+# ---------------------------------------------------------------------------
+# Host-level engine
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SpecEngine:
+    """Single-request speculative/AR generation over jitted device loops.
+
+    Prompt lengths are padded to ``prompt_bucket`` multiples and the token /
+    cache buffers are sized ``prompt_cap + max_new_tokens + block + 1``, so a
+    fixed (prompt_cap, max_new_tokens) pair compiles exactly one prefill and
+    one decode executable per mode.
+    """
+
+    def __init__(
+        self,
+        tcfg: ModelConfig,
+        dcfg: DraftConfig,
+        t_params,
+        d_params,
+        *,
+        max_new_tokens: int,
+        block_size: Optional[int] = None,
+        prompt_cap: int = 1024,
+        prompt_bucket: int = 128,
+        stop_token_ids: Sequence[int] = (),
+    ):
+        self.tcfg = tcfg
+        self.dcfg = dcfg
+        self.t_params = t_params
+        self.d_params = d_params
+        self.max_new_tokens = int(max_new_tokens)
+        self.block_size = int(block_size if block_size is not None else dcfg.block_size)
+        self.prompt_cap = int(prompt_cap)
+        self.prompt_bucket = int(prompt_bucket)
+        self.stop_token_ids = tuple(int(s) for s in stop_token_ids)
+        self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
+
+    def _pad_prompt(self, input_ids: np.ndarray) -> tuple[jax.Array, int, int]:
+        input_ids = np.asarray(input_ids)
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None, :]
+        prompt_len = int(input_ids.shape[1])
+        if prompt_len > self.prompt_cap:
+            raise ValueError(f"prompt_len {prompt_len} exceeds prompt_cap {self.prompt_cap}")
+        P = min(self.prompt_cap, _round_up(max(prompt_len, 1), self.prompt_bucket))
+        padded = np.zeros((1, P), np.int32)
+        padded[0, :prompt_len] = input_ids[0]
+        return jnp.asarray(padded), prompt_len, P
+
+    def _trim(self, output_ids: np.ndarray, prompt_len: int) -> np.ndarray:
+        """Reference post-processing (benchmark.py:196-202): cut at
+        max_length, strip mask tokens, truncate at first stop token."""
+        max_length = prompt_len + self.max_new_tokens
+        seq = output_ids[0, :max_length]
+        seq = seq[seq != self.dcfg.mask_token_id]
+        if self.stop_token_ids:
+            gen = seq[prompt_len:]
+            hits = np.nonzero(np.isin(gen, list(self.stop_token_ids)))[0]
+            if hits.size > 0:
+                seq = seq[: prompt_len + hits[0] + 1]
+        return seq[None, :]
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> GenerationResult:
+        ids, prompt_len, _ = self._pad_prompt(input_ids)
+        key = jax.random.PRNGKey(seed)
+        temp = jnp.float32(temperature)
+        plen = jnp.int32(prompt_len)
+        max_length = jnp.int32(prompt_len + self.max_new_tokens)
+
+        t0 = time.perf_counter()
+        state = _prefill(
+            self.t_params, self.d_params, ids, plen, temp, key,
+            tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
+            max_cycles=self.max_new_tokens,
+        )
+        state.output_ids.block_until_ready()
+        ttft = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        state = _decode(
+            self.t_params, self.d_params, state, max_length, temp,
+            tcfg=self.tcfg, dcfg=self.dcfg, block_size=self.block_size,
+            stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
+        )
+        state.output_ids.block_until_ready()
+        decode_wall = time.perf_counter() - t1
+
+        out = np.asarray(state.output_ids)
+        n_cycles = int(state.cycle_idx)
+        acc = np.asarray(state.acc_trace)[:n_cycles].tolist()
+        seq = self._trim(out, prompt_len)
+        num_out = int(seq.shape[1] - prompt_len)
+        return GenerationResult(
+            output_ids=seq,
+            num_input_tokens=prompt_len,
+            num_output_tokens=num_out,
+            time_to_first_token=ttft,
+            time_per_output_token=decode_wall / max(num_out, 1),
+            acceptance_lengths=acc,
+            decode_wall_s=decode_wall,
+        )
+
+    def ar_generate(
+        self,
+        input_ids: np.ndarray,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> GenerationResult:
+        ids, prompt_len, _ = self._pad_prompt(input_ids)
+        key = jax.random.PRNGKey(seed)
+        temp = jnp.float32(temperature)
+        plen = jnp.int32(prompt_len)
+        max_length = jnp.int32(prompt_len + self.max_new_tokens)
+
+        t0 = time.perf_counter()
+        state = _ar_prefill(
+            self.t_params, ids, plen, temp, key,
+            tcfg=self.tcfg, total_len=self.total_len,
+            mask_token_id=self.dcfg.mask_token_id,
+        )
+        state.output_ids.block_until_ready()
+        ttft = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        state = _ar_decode(
+            self.t_params, state, max_length, temp,
+            tcfg=self.tcfg, stop_token_ids=self.stop_token_ids,
+        )
+        state.output_ids.block_until_ready()
+        decode_wall = time.perf_counter() - t1
+
+        out = np.asarray(state.output_ids)
+        seq = self._trim(out, prompt_len)
+        num_out = int(seq.shape[1] - prompt_len)
+        return GenerationResult(
+            output_ids=seq,
+            num_input_tokens=prompt_len,
+            num_output_tokens=num_out,
+            time_to_first_token=ttft,
+            time_per_output_token=decode_wall / max(num_out, 1),
+            acceptance_lengths=[1] * num_out,
+            decode_wall_s=decode_wall,
+        )

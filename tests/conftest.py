@@ -1,0 +1,18 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native equivalent of the reference's "single-process when
+RANK unset" fake-distributed story (reference distributed.py:18-21): sharding
+tests execute against 8 virtual CPU devices so multi-chip code paths compile
+and run without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
