@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Headline benchmark: DFlash speculative decoding vs autoregressive decode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Reference baseline (BASELINE.md, A100 80GB, Qwen3-4B + DFlash-b16, AIME25):
+AR TPOT 0.043140 s, spec TPOT @B=16 0.007273 s => decoding speedup 5.93x at
+tau=7.46.  No trained draft checkpoints are reachable in this environment
+(zero egress), so tau is *emulated*: the engine runs the full draft forward,
+verify forward, acceptance arithmetic, commit and KV bookkeeping every cycle,
+but the accept decision is overridden with a deterministic pattern whose mean
+matches the reference tau=7.46 (see SpecEngine.generate(forced_acc=...)).
+All compute and memory traffic is identical to a real reference-quality
+draft; only the token *values* differ.  The reported metric is the
+wall-clock decoding speedup vs our own AR baseline on the same chip —
+the same definition as reference benchmark.py:571.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(msg):
+    print(f"[bench] +{time.perf_counter() - T0:.1f}s {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+REF_TAU = 7.46
+REF_SPEEDUP = 5.93  # reference results.md:363 (A100, Qwen3-4B, B=16)
+
+
+def make_forced_acc(n_cycles: int, block_size: int, tau_target: float, seed: int = 0) -> np.ndarray:
+    """Deterministic acc (=tau-1) pattern with mean tau ~= tau_target."""
+    rng = np.random.default_rng(seed)
+    lo = int(np.floor(tau_target))
+    frac = tau_target - lo
+    taus = np.where(rng.random(n_cycles) < frac, lo + 1, lo)
+    return (np.clip(taus, 1, block_size) - 1).astype(np.int32)
+
+
+def main():
+    preset = os.environ.get("BENCH_PRESET", "qwen3-4b")
+    from dflash_tpu.core.config import QWEN3_4B, dflash_draft_config, tiny_target_config, tiny_draft_config
+    from dflash_tpu.models import dflash_draft, qwen3
+    from dflash_tpu.spec import SpecEngine
+
+    if preset == "smoke":
+        tcfg = tiny_target_config(num_key_value_heads=2)
+        dcfg = tiny_draft_config(tcfg, block_size=16, num_layers=1)
+        max_new, prompt_cap = 128, 128
+    else:
+        tcfg = QWEN3_4B
+        dcfg = dflash_draft_config(QWEN3_4B, num_draft_layers=1, block_size=16)
+        max_new, prompt_cap = 512, 128
+
+    block_size = dcfg.block_size
+    log(f"preset={preset} target L={tcfg.num_hidden_layers} H={tcfg.hidden_size} "
+        f"draft L={dcfg.model.num_hidden_layers} B={block_size} devices={jax.devices()}")
+
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.bfloat16)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.bfloat16)
+    jax.block_until_ready((t_params, d_params))
+    log("params initialized")
+
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params,
+        max_new_tokens=max_new, block_size=block_size,
+        prompt_cap=prompt_cap, prompt_bucket=prompt_cap, stop_token_ids=(),
+    )
+    prompt = np.random.default_rng(0).integers(1, tcfg.vocab_size - 2, size=(1, 117))
+    n_cycles = int(np.ceil(max_new / (REF_TAU - 1)))
+    forced = make_forced_acc(max_new, block_size, REF_TAU)
+
+    # --- AR baseline (reference block_size=1 path) -------------------------
+    ar_warm = engine.ar_generate(prompt, temperature=0.0)
+    log(f"AR warm done (compile+run, tpot={ar_warm.time_per_output_token*1e3:.2f} ms)")
+    ar = engine.ar_generate(prompt, temperature=0.0)
+    log(f"AR steady: {ar.num_output_tokens} tok, tpot={ar.time_per_output_token*1e3:.3f} ms, "
+        f"{1.0/ar.time_per_output_token:.1f} tok/s")
+
+    # --- speculative with emulated reference-tau acceptance ----------------
+    spec_warm = engine.generate(prompt, temperature=0.0, forced_acc=forced)
+    log(f"spec warm done (compile+run, tpot={spec_warm.time_per_output_token*1e3:.2f} ms)")
+    spec = engine.generate(prompt, temperature=0.0, forced_acc=forced)
+    tau = float(np.mean(spec.acceptance_lengths)) if spec.acceptance_lengths else 0.0
+    log(f"spec steady: {spec.num_output_tokens} tok in {len(spec.acceptance_lengths)} cycles, "
+        f"tau={tau:.2f}, tpot={spec.time_per_output_token*1e3:.3f} ms, "
+        f"{1.0/spec.time_per_output_token:.1f} tok/s")
+
+    speedup = ar.time_per_output_token / spec.time_per_output_token
+    result = {
+        "metric": f"decoding_speedup_vs_ar ({preset}-shape, B={block_size}, tau={tau:.2f} emulated)",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / REF_SPEEDUP, 3),
+        "detail": {
+            "ar_tpot_ms": round(ar.time_per_output_token * 1e3, 4),
+            "spec_tpot_ms": round(spec.time_per_output_token * 1e3, 4),
+            "ar_tokens_per_sec": round(1.0 / ar.time_per_output_token, 2),
+            "spec_tokens_per_sec": round(1.0 / spec.time_per_output_token, 2),
+            "tau": round(tau, 3),
+            "ref_ar_tpot_ms": 43.140,
+            "ref_spec_tpot_ms": 7.273,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

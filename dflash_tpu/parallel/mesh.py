@@ -1,0 +1,111 @@
+"""Device mesh + sharding rules (the reference's 83-line NCCL shim,
+distributed.py, replaced by a first-class GSPMD layer).
+
+Axes:
+  - ``dp``  — data parallel over concurrent requests (replaces the
+    reference's torchrun rank-striding of prompts, benchmark.py:445).
+  - ``tp``  — tensor parallel, Megatron-style: attention heads and MLP
+    intermediate column/row-sharded; KV cache sharded on the kv-head axis.
+    The reference gets TP only via SGLang (benchmark_sglang.py:271-276).
+  - MoE experts are sharded on ``tp`` as well (expert-parallel verify for
+    Qwen3-Coder-30B-A3B); a dedicated ``ep`` axis can be layered later.
+
+All collectives (all-gather after column-sharded matmuls, reduce-scatter/
+all-reduce after row-sharded ones, all-to-all for experts) are emitted by
+XLA/GSPMD from these shardings — no hand-written NCCL-style calls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dflash_tpu.core.config import DraftConfig, ModelConfig
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(dev_array, ("dp", "tp"))
+
+
+def _layer_specs(cfg: ModelConfig) -> dict:
+    specs = {
+        "input_ln": P(),
+        "post_ln": P(),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+    }
+    if cfg.use_qk_norm:
+        specs["q_norm"] = P()
+        specs["k_norm"] = P()
+    if cfg.is_moe:
+        specs.update(
+            router=P(),
+            gate=P(None, "tp", None, None),  # experts sharded across tp
+            up=P(None, "tp", None, None),
+            down=P(None, "tp", None, None),
+        )
+    else:
+        specs.update(
+            gate=P(None, None, "tp"),
+            up=P(None, None, "tp"),
+            down=P(None, "tp", None),
+        )
+    return specs
+
+
+def target_param_specs(cfg: ModelConfig) -> dict:
+    specs = {
+        "embed": P(),  # replicated: used for token gather + (tied) lm_head
+        "layers": _layer_specs(cfg),
+        "final_norm": P(),
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, "tp")  # vocab-sharded logits
+    return specs
+
+
+def draft_param_specs(cfg: DraftConfig) -> dict:
+    return {
+        "layers": _layer_specs(cfg.model),
+        "final_norm": P(),
+        "fc": P(None, "tp"),
+        "hidden_norm": P(),
+    }
+
+
+def kv_cache_spec(batched: bool = False) -> P:
+    # [L, B, T, n_kv, d] — kv heads on tp; request batch on dp (when the
+    # leading request axis exists in the batched engine: [R, L, 1, T, n_kv, d]).
+    if batched:
+        return P("dp", None, None, None, "tp", None)
+    return P(None, "dp", None, "tp", None)
+
+
+def _to_shardings(specs, mesh: Mesh):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def target_param_shardings(cfg: ModelConfig, mesh: Mesh):
+    return _to_shardings(target_param_specs(cfg), mesh)
+
+
+def draft_param_shardings(cfg: DraftConfig, mesh: Mesh):
+    return _to_shardings(draft_param_specs(cfg), mesh)
+
+
+def shard_params(params, shardings):
+    """Place a params pytree onto the mesh according to ``shardings``."""
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -67,11 +67,7 @@ class GenerationResult(NamedTuple):
 # jitted stages
 # ---------------------------------------------------------------------------
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles"),
-)
-def _prefill(
+def _prefill_impl(
     t_params,
     d_params,
     input_ids: jax.Array,  # [1, P] padded with zeros beyond prompt_len
@@ -135,6 +131,12 @@ def _prefill(
     )
 
 
+class CycleAux(NamedTuple):
+    tau: jax.Array  # [] int32 — committed tokens this cycle
+    l_gen: jax.Array  # [] float32 — EOS-aware drafted length (DiffuSpec ADL
+    #   signal, reference benchmark_dynamic_schedule.py:344-349)
+
+
 def _cycle(
     state: LoopState,
     t_params,
@@ -145,21 +147,30 @@ def _cycle(
     dcfg: DraftConfig,
     block_size: int,
     stop_token_ids: Tuple[int, ...],
-) -> LoopState:
+    forced_acc: Optional[jax.Array] = None,  # [max_cycles] int32; -1 = use real rule
+    ctx_window: Optional[int] = None,  # feature rows re-projected per cycle;
+    #   must be >= the largest tau a previous cycle may have committed (the
+    #   dynamic-schedule path passes max(candidate block sizes))
+    draft_temperature: Optional[jax.Array] = None,  # None => greedy draft
+    #   (reference benchmark.py:140); the policy loop samples the draft at
+    #   the generation temperature (benchmark_dynamic_schedule.py:342)
+    with_aux: bool = False,
+):
     B = block_size
+    W = ctx_window if ctx_window is not None else B
     T = state.output_ids.shape[1]
     start = state.start
-    key, k_post = jax.random.split(state.key)
+    key, k_post, k_draft = jax.random.split(state.key, 3)
 
     block = jax.lax.dynamic_slice(state.output_ids, (0, start), (1, B))  # [1, B]
     block_positions = start + jnp.arange(B, dtype=jnp.int32)[None, :]
 
-    # -- draft context append: B-row window ending at the frontier ----------
-    w0 = jnp.clip(start - B, 0, T - B)
+    # -- draft context append: W-row window ending at the frontier ----------
+    w0 = jnp.clip(start - W, 0, T - W)
     feats_w = jax.lax.dynamic_slice(
-        state.features, (0, w0, 0), (1, B, state.features.shape[2])
+        state.features, (0, w0, 0), (1, W, state.features.shape[2])
     )
-    w_positions = w0 + jnp.arange(B, dtype=jnp.int32)[None, :]
+    w_positions = w0 + jnp.arange(W, dtype=jnp.int32)[None, :]
     d_kv = dflash_draft.append_ctx(d_params, dcfg, state.d_kv, feats_w, w_positions, w0)
 
     # -- draft forward: unmask the whole block in one pass ------------------
@@ -167,9 +178,12 @@ def _cycle(
     d_hidden = dflash_draft.forward(
         d_params, dcfg, noise_embeds, block_positions, d_kv, start
     )
-    # Target lm_head on rows 1..B-1, greedy draft (reference benchmark.py:130-140).
+    # Target lm_head on rows 1..B-1 (reference benchmark.py:130-140).
     draft_logits = qwen3.lm_head(t_params, d_hidden[:, 1:])
-    draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
+    if draft_temperature is None:
+        draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
+    else:
+        draft_tokens = sample(draft_logits, draft_temperature, k_draft)
     block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
 
     # -- verify forward -----------------------------------------------------
@@ -183,6 +197,12 @@ def _cycle(
 
     # -- accept + commit ----------------------------------------------------
     acc = acceptance_length(block[:, 1:], posterior)[0]  # [] int32
+    if forced_acc is not None:
+        # Benchmark-only acceptance override: emulates a reference-matching
+        # tau distribution when no trained draft checkpoint is available.
+        # All compute/data movement is identical to the real rule.
+        f = forced_acc[state.cycle_idx]
+        acc = jnp.where(f >= 0, jnp.minimum(f, block_size - 1), acc)
     tau = acc + 1
     idx = jnp.arange(B + 1, dtype=jnp.int32)
     commit = jnp.where(idx[None, :B] <= acc, block, dcfg.mask_token_id)
@@ -204,7 +224,7 @@ def _cycle(
     acc_trace = jax.lax.dynamic_update_index_in_dim(
         state.acc_trace, tau, state.cycle_idx, 0
     )
-    return LoopState(
+    new_state = LoopState(
         output_ids=output_ids,
         start=start + tau,
         done=state.done | eos_hit,
@@ -215,13 +235,24 @@ def _cycle(
         d_kv=d_kv,
         features=features,
     )
+    if not with_aux:
+        return new_state
+    # EOS-aware drafted length l_gen in [1, B]: index of the first stop token
+    # among the drafted rows block[1:], +1; B if none.
+    if stop_token_ids:
+        is_stop = jnp.zeros((B - 1,), bool)
+        for sid in stop_token_ids:
+            is_stop = is_stop | (block[0, 1:] == sid)
+        first = jnp.argmax(is_stop)
+        l_gen = jnp.where(
+            jnp.any(is_stop), jnp.minimum(first + 1, B), B
+        ).astype(jnp.float32)
+    else:
+        l_gen = jnp.float32(B)
+    return new_state, CycleAux(tau=tau, l_gen=l_gen)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles"),
-)
-def _decode(
+def _decode_impl(
     t_params,
     d_params,
     state: LoopState,
@@ -233,6 +264,7 @@ def _decode(
     block_size: int,
     stop_token_ids: Tuple[int, ...],
     max_cycles: int,
+    forced_acc: Optional[jax.Array] = None,
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -241,10 +273,19 @@ def _decode(
         return _cycle(
             s, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
-            stop_token_ids=stop_token_ids,
+            stop_token_ids=stop_token_ids, forced_acc=forced_acc,
         )
 
     return jax.lax.while_loop(cond, body, state)
+
+
+_prefill = jax.jit(
+    _prefill_impl, static_argnames=("tcfg", "dcfg", "total_len", "max_cycles")
+)
+_decode = jax.jit(
+    _decode_impl,
+    static_argnames=("tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -381,6 +422,7 @@ class SpecEngine:
         input_ids: np.ndarray,
         temperature: float = 0.0,
         seed: int = 0,
+        forced_acc: Optional[np.ndarray] = None,
     ) -> GenerationResult:
         ids, prompt_len, _ = self._pad_prompt(input_ids)
         key = jax.random.PRNGKey(seed)
@@ -397,11 +439,17 @@ class SpecEngine:
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
 
+        if forced_acc is not None:
+            fa = np.full((self.max_new_tokens,), -1, np.int32)
+            fa[: len(forced_acc)] = np.asarray(forced_acc, np.int32)[: self.max_new_tokens]
+            forced_acc = jnp.asarray(fa)
+
         t1 = time.perf_counter()
         state = _decode(
             self.t_params, self.d_params, state, max_length, temp,
             tcfg=self.tcfg, dcfg=self.dcfg, block_size=self.block_size,
             stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
+            forced_acc=forced_acc,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1

@@ -1,0 +1,114 @@
+"""EWMA scheduler state machine + dynamic-schedule decode path."""
+
+import numpy as np
+import pytest
+
+from dflash_tpu.sched.ewma import EWMAScheduler, SchedulerConfig
+
+
+def make(**kw):
+    base = dict(
+        candidates=(4, 8, 16),
+        warmup_cycles=3,
+        ewma_alpha=0.5,
+        switch_margin=0.1,
+        required_streak=2,
+        cooldown_cycles=2,
+        probe_interval=0,
+        low_accept_threshold=0.25,
+        low_accept_streak=2,
+    )
+    base.update(kw)
+    return EWMAScheduler(SchedulerConfig(**base))
+
+
+def test_warmup_round_robins_candidates():
+    s = make()
+    assert [s.select(i) for i in range(3)] == [4, 8, 16]
+
+
+def test_starts_at_largest_candidate():
+    s = make()
+    assert s.current == 16
+    assert s.select(10) == 16
+
+
+def test_switch_requires_margin_and_streak():
+    s = make()
+    # Feed updates: bs=8 is twice as good as bs=16.
+    for i in range(3):
+        s.update(tau=4.0, cycle_s=0.01, effective_bs=s.select(i), cycle_idx=i)
+    # After warmup: repeated evidence that 8 dominates.
+    s.update(tau=8.0, cycle_s=0.01, effective_bs=8, cycle_idx=3)
+    assert s.current == 16  # streak 1 < required 2
+    s.update(tau=8.0, cycle_s=0.01, effective_bs=8, cycle_idx=4)
+    assert s.current == 8  # streak reached
+    assert s.cooldown_left == 2
+    # During cooldown no further switches even with big evidence.
+    s.update(tau=16.0, cycle_s=0.001, effective_bs=16, cycle_idx=5)
+    assert s.current == 8
+
+
+def test_low_acceptance_falls_back_to_lower_neighbor():
+    s = make()
+    for i in range(3):
+        s.update(tau=6.0, cycle_s=0.01, effective_bs=s.select(i), cycle_idx=i)
+    assert s.current == 16
+    # Two consecutive cycles at current bs with tau/bs < 0.25.
+    s.update(tau=2.0, cycle_s=0.01, effective_bs=16, cycle_idx=3)
+    s.update(tau=2.0, cycle_s=0.01, effective_bs=16, cycle_idx=4)
+    assert s.current == 8
+
+
+def test_off_candidate_updates_are_ignored():
+    s = make()
+    s.update(tau=1.0, cycle_s=99.0, effective_bs=3, cycle_idx=0)
+    assert all(v is None for v in s.tau_hat.values())
+
+
+def test_probe_interval_probes_non_current():
+    s = make(probe_interval=5, warmup_cycles=2)
+    picks = [s.select(i) for i in range(2, 12)]
+    # At cycles 2 and 7 (since-warmup 0 and 5) a non-current candidate is probed.
+    assert picks[0] != s.current
+    assert picks[5] != s.current
+    assert all(p == s.current for j, p in enumerate(picks) if j not in (0, 5))
+
+
+def test_adl_mode_tracks_lgen_and_restricts_pool():
+    s = make(mode="adl_ewma", adl_k_min=2, adl_k_max=20, adl_delta=2.0,
+             adl_neighborhood=4, warmup_cycles=0)
+    # l_gen consistently ~6 with tau ~6 -> target k ~= ceil(6+2)=8 -> bs 8.
+    for i in range(6):
+        s.update(tau=6.0, cycle_s=0.01, effective_bs=8, cycle_idx=i, l_gen=6.0)
+    assert s.adl_target_bs == 8
+
+
+def test_policy_decode_matches_ar_greedy():
+    """The dynamic-schedule path must still produce exactly the AR tokens."""
+    import jax
+    import jax.numpy as jnp
+    from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+    from dflash_tpu.models import dflash_draft, qwen3
+    from dflash_tpu.spec.engine import SpecEngine
+    from dflash_tpu.spec.policy import policy_generate
+
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=2)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=20,
+        block_size=8, prompt_cap=32, prompt_bucket=16,
+    )
+    prompt = np.random.default_rng(0).integers(0, tcfg.vocab_size - 2, size=(1, 6))
+
+    sched = EWMAScheduler(SchedulerConfig(candidates=(4, 8), warmup_cycles=2))
+    res, used, trace, snap = policy_generate(
+        engine, prompt, scheduler=sched, temperature=0.0, collect_trace=True,
+    )
+    ar = engine.ar_generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(res.output_ids, ar.output_ids)
+    assert set(used) <= {4, 8}
+    assert len(used) == len(res.acceptance_lengths)
+    assert snap["current"] in (4, 8)

@@ -1,0 +1,134 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: tp-sharded params,
+dp-sharded batched requests, MoE expert sharding, and parity vs single-device."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+from dflash_tpu.models import dflash_draft, qwen3
+from dflash_tpu.parallel.mesh import (
+    draft_param_shardings,
+    make_mesh,
+    shard_params,
+    target_param_shardings,
+)
+from dflash_tpu.spec.batched import jit_batched_cycle, jit_batched_decode, jit_batched_prefill
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup(tp, tcfg=None):
+    tcfg = tcfg or tiny_target_config(
+        num_attention_heads=2 * tp, num_key_value_heads=tp, head_dim=16,
+        hidden_size=32 * tp,
+    )
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    return tcfg, dcfg, t_params, d_params
+
+
+def _run_batched(mesh, tcfg, dcfg, t_params, d_params, R, shard=True):
+    if shard and mesh is not None:
+        t_params = shard_params(t_params, target_param_shardings(tcfg, mesh))
+        d_params = shard_params(d_params, draft_param_shardings(dcfg, mesh))
+    rng = np.random.default_rng(0)
+    P_pad, total_len, max_cycles = 16, 48, 8
+    input_ids = jnp.asarray(rng.integers(1, tcfg.vocab_size - 2, size=(R, 1, P_pad)), jnp.int32)
+    prompt_lens = jnp.asarray([5 + 2 * r for r in range(R)], jnp.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(R, dtype=jnp.uint32))
+    temp = jnp.float32(0.0)
+    state = jit_batched_prefill(
+        t_params, d_params, input_ids, prompt_lens, temp, keys,
+        tcfg=tcfg, dcfg=dcfg, total_len=total_len, max_cycles=max_cycles,
+    )
+    if shard and mesh is not None:
+        state = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*(("dp",) + (None,) * (x.ndim - 1))))
+            ),
+            state,
+        )
+    max_lengths = prompt_lens + 12
+    state = jit_batched_decode(
+        t_params, d_params, state, max_lengths, temp,
+        tcfg=tcfg, dcfg=dcfg, block_size=dcfg.block_size,
+        stop_token_ids=(), max_cycles=max_cycles,
+    )
+    return jax.tree.map(np.asarray, state), prompt_lens
+
+
+def test_tp_sharded_decode_matches_replicated():
+    tp = 4
+    mesh = make_mesh(dp=2, tp=tp)
+    tcfg, dcfg, t_params, d_params = _setup(tp)
+    sharded, plens = _run_batched(mesh, tcfg, dcfg, t_params, d_params, R=2, shard=True)
+    plain, _ = _run_batched(None, tcfg, dcfg, t_params, d_params, R=2, shard=False)
+    np.testing.assert_array_equal(sharded.output_ids, plain.output_ids)
+    np.testing.assert_array_equal(sharded.start, plain.start)
+
+
+def test_batched_requests_decode_independently():
+    """Lanes of a dp batch must not leak into each other: two lanes given the
+    same prompt decode identically; a lane with a different prompt differs.
+
+    (Exact equality against the *single-request* path is not asserted — a
+    vmapped graph reduces in a different order, which can flip argmax on
+    near-ties with random weights; identical-lane equality is the airtight
+    independence invariant.)"""
+    tp = 2
+    tcfg, dcfg, t_params, d_params = _setup(tp)
+
+    rng = np.random.default_rng(0)
+    P_pad, total_len, max_cycles = 16, 48, 8
+    base = rng.integers(1, tcfg.vocab_size - 2, size=(1, P_pad))
+    other = rng.integers(1, tcfg.vocab_size - 2, size=(1, P_pad))
+    input_ids = jnp.asarray(np.stack([base, other, base]), jnp.int32)  # [3,1,P]
+    prompt_lens = jnp.asarray([7, 7, 7], jnp.int32)
+    keys = jnp.stack([jax.random.PRNGKey(0)] * 3)
+    temp = jnp.float32(0.0)
+    state = jit_batched_prefill(
+        t_params, d_params, input_ids, prompt_lens, temp, keys,
+        tcfg=tcfg, dcfg=dcfg, total_len=total_len, max_cycles=max_cycles,
+    )
+    state = jit_batched_decode(
+        t_params, d_params, state, prompt_lens + 12, temp,
+        tcfg=tcfg, dcfg=dcfg, block_size=dcfg.block_size,
+        stop_token_ids=(), max_cycles=max_cycles,
+    )
+    out = np.asarray(state.output_ids)
+    np.testing.assert_array_equal(out[0], out[2])  # identical lanes agree
+    assert not np.array_equal(out[0], out[1])  # different prompts differ
+    assert (np.asarray(state.start) > 7).all()
+
+
+def test_moe_expert_sharded_decode_runs():
+    tp = 4
+    mesh = make_mesh(dp=2, tp=tp)
+    base = tiny_target_config(
+        num_attention_heads=2 * tp, num_key_value_heads=tp, head_dim=16,
+        hidden_size=32 * tp,
+    )
+    tcfg = dataclasses.replace(
+        base, num_experts=2 * tp, num_experts_per_tok=2, moe_intermediate_size=32
+    )
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    dcfg = dataclasses.replace(
+        dcfg,
+        model=dataclasses.replace(
+            dcfg.model, num_experts=0, num_experts_per_tok=0, moe_intermediate_size=0
+        ),
+    )
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    sharded, plens = _run_batched(mesh, tcfg, dcfg, t_params, d_params, R=2, shard=True)
+    plain, _ = _run_batched(None, tcfg, dcfg, t_params, d_params, R=2, shard=False)
+    np.testing.assert_array_equal(sharded.output_ids, plain.output_ids)
+    assert (sharded.start > np.asarray(plens)).all()
