@@ -197,6 +197,96 @@ def forward(
     return ForwardResult(hidden=hidden, taps=taps_concat, kv=KVCache(k_new, v_new))
 
 
+class CandidateForwardResult(NamedTuple):
+    hidden: jax.Array  # [C, B, H]
+    taps: jax.Array  # [C, B, n_taps * H]
+    blk_k: jax.Array  # [L, C, B, n_kv, d] — per-candidate block keys
+    blk_v: jax.Array  # [L, C, B, n_kv, d]
+
+
+def forward_block_candidates(
+    params: dict,
+    cfg: ModelConfig,
+    embeds: jax.Array,  # [C, B, H] — C candidate blocks
+    positions: jax.Array,  # [C, B] absolute positions (identical rows)
+    ctx_kv: KVCache,  # committed-context cache, batch 1
+    ctx_len: jax.Array,  # scalar int32 frontier (valid ctx rows < ctx_len)
+    tap_ids: Tuple[int, ...] = (),
+) -> CandidateForwardResult:
+    """Verify C candidate blocks in one batched forward over a SHARED context.
+
+    TPU-native replacement for the reference's per-candidate KV-cache clone +
+    ``batch_repeat_interleave`` (benchmark_candidate_solutions.py:574-576):
+    every candidate reads the same committed-context K/V (no copy); only the
+    per-candidate block K/V differ, and they are returned so the caller can
+    commit the winning candidate's rows into the main cache.
+
+    Attention per query i of candidate c: all ctx rows < ctx_len plus block
+    rows j <= i of candidate c (causal within the block).
+    """
+    C, B, H = embeds.shape
+    nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    scale = d ** -0.5
+    T = ctx_kv.max_len
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta, cfg.rope_scaling)
+
+    ctx_mask = jnp.arange(T, dtype=jnp.int32)[None, :] < ctx_len  # [1, T]
+    blk_mask = (
+        jnp.arange(B, dtype=jnp.int32)[None, :] <= jnp.arange(B, dtype=jnp.int32)[:, None]
+    )  # [B, B]
+    mask = jnp.concatenate(
+        [jnp.broadcast_to(ctx_mask, (B, T)), blk_mask], axis=1
+    )  # [B, T+B]
+
+    lp = params["layers"]
+    L = cfg.num_hidden_layers
+    n_taps = len(tap_ids)
+    slot_of = {l: i for i, l in enumerate(tap_ids)}
+    tap_slots = jnp.asarray([slot_of.get(l, -1) for l in range(L)], jnp.int32)
+    taps0 = jnp.zeros((max(n_taps, 1), C, B, H), embeds.dtype)
+
+    def layer_step(carry, xs):
+        hidden, taps = carry
+        p, k_ctx, v_ctx, slot = xs  # ctx: [1, T, n_kv, d]
+
+        h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
+        q = jnp.einsum("csh,hd->csd", h_norm, p["wq"], preferred_element_type=jnp.float32)
+        q = q.reshape(C, B, nh, d).astype(hidden.dtype)
+        k = jnp.einsum("csh,hd->csd", h_norm, p["wk"], preferred_element_type=jnp.float32)
+        k = k.reshape(C, B, nkv, d).astype(hidden.dtype)
+        v = jnp.einsum("csh,hd->csd", h_norm, p["wv"], preferred_element_type=jnp.float32)
+        v = v.reshape(C, B, nkv, d).astype(hidden.dtype)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_all = jnp.concatenate([jnp.broadcast_to(k_ctx, (C, T, nkv, d)), k], axis=1)
+        v_all = jnp.concatenate([jnp.broadcast_to(v_ctx, (C, T, nkv, d)), v], axis=1)
+        attn = gqa_attention(q, k_all, v_all, mask, scale)
+        attn = jnp.einsum("csd,dh->csh", attn, p["wo"], preferred_element_type=jnp.float32).astype(hidden.dtype)
+        hidden = hidden + attn
+
+        h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
+        mlp_out = _moe_mlp(p, cfg, h_norm2) if cfg.is_moe else _dense_mlp(p, h_norm2)
+        hidden = hidden + mlp_out
+
+        if n_taps > 0:
+            updated = jax.lax.dynamic_update_index_in_dim(
+                taps, hidden, jnp.maximum(slot, 0), 0
+            )
+            taps = jnp.where(slot >= 0, updated, taps)
+        return (hidden, taps), (k, v)
+
+    (hidden, taps), (blk_k, blk_v) = jax.lax.scan(
+        layer_step, (embeds, taps0), (lp, ctx_kv.k, ctx_kv.v, tap_slots)
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    taps_concat = jnp.moveaxis(taps, 0, -2).reshape(C, B, max(n_taps, 1) * H)
+    return CandidateForwardResult(hidden=hidden, taps=taps_concat, blk_k=blk_k, blk_v=blk_v)
+
+
 def causal_mask(q_positions: jax.Array, cache_len: int) -> jax.Array:
     """[S, T] mask: key row s attendable iff s <= q_pos.
 
