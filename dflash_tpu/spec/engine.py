@@ -137,30 +137,30 @@ class CycleAux(NamedTuple):
     #   signal, reference benchmark_dynamic_schedule.py:344-349)
 
 
-def _cycle(
+def _draft_stage(
     state: LoopState,
     t_params,
     d_params,
-    temperature: jax.Array,
     *,
     tcfg: ModelConfig,
     dcfg: DraftConfig,
     block_size: int,
-    stop_token_ids: Tuple[int, ...],
-    forced_acc: Optional[jax.Array] = None,  # [max_cycles] int32; -1 = use real rule
-    ctx_window: Optional[int] = None,  # feature rows re-projected per cycle;
-    #   must be >= the largest tau a previous cycle may have committed (the
-    #   dynamic-schedule path passes max(candidate block sizes))
-    draft_temperature: Optional[jax.Array] = None,  # None => greedy draft
-    #   (reference benchmark.py:140); the policy loop samples the draft at
-    #   the generation temperature (benchmark_dynamic_schedule.py:342)
-    with_aux: bool = False,
-):
+    ctx_window: Optional[int] = None,
+    draft_temperature: Optional[jax.Array] = None,
+    draft_steps: int = 1,
+) -> Tuple[KVCache, jax.Array]:
+    """Draft context append + non-causal draft forward + draft sampling.
+
+    Returns (updated draft KV cache, drafted block [1, B]).  With
+    ``draft_steps > 1``, re-embeds and re-denoises the drafted block
+    repeatedly before verification (reference multi-step refinement,
+    benchmark.py:112-141 — measured there to collapse tau; kept for parity).
+    """
     B = block_size
     W = ctx_window if ctx_window is not None else B
     T = state.output_ids.shape[1]
     start = state.start
-    key, k_post, k_draft = jax.random.split(state.key, 3)
+    _, _, k_draft = jax.random.split(state.key, 3)
 
     block = jax.lax.dynamic_slice(state.output_ids, (0, start), (1, B))  # [1, B]
     block_positions = start + jnp.arange(B, dtype=jnp.int32)[None, :]
@@ -174,17 +174,40 @@ def _cycle(
     d_kv = dflash_draft.append_ctx(d_params, dcfg, state.d_kv, feats_w, w_positions, w0)
 
     # -- draft forward: unmask the whole block in one pass ------------------
-    noise_embeds = qwen3.embed(t_params, block)  # target embeddings, benchmark.py:116
-    d_hidden = dflash_draft.forward(
-        d_params, dcfg, noise_embeds, block_positions, d_kv, start
-    )
-    # Target lm_head on rows 1..B-1 (reference benchmark.py:130-140).
-    draft_logits = qwen3.lm_head(t_params, d_hidden[:, 1:])
-    if draft_temperature is None:
-        draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
-    else:
-        draft_tokens = sample(draft_logits, draft_temperature, k_draft)
-    block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
+    for _ in range(max(1, draft_steps)):
+        noise_embeds = qwen3.embed(t_params, block)  # target embeddings, benchmark.py:116
+        d_hidden = dflash_draft.forward(
+            d_params, dcfg, noise_embeds, block_positions, d_kv, start
+        )
+        # Target lm_head on rows 1..B-1 (reference benchmark.py:130-140).
+        draft_logits = qwen3.lm_head(t_params, d_hidden[:, 1:])
+        if draft_temperature is None:
+            draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
+        else:
+            draft_tokens = sample(draft_logits, draft_temperature, k_draft)
+        block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
+    return d_kv, block
+
+
+def _verify_stage(
+    state: LoopState,
+    d_kv: KVCache,
+    block: jax.Array,  # [1, B] drafted block
+    t_params,
+    temperature: jax.Array,
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    block_size: int,
+    stop_token_ids: Tuple[int, ...],
+    forced_acc: Optional[jax.Array] = None,
+    with_aux: bool = False,
+):
+    B = block_size
+    T = state.output_ids.shape[1]
+    start = state.start
+    key, k_post, _ = jax.random.split(state.key, 3)
+    block_positions = start + jnp.arange(B, dtype=jnp.int32)[None, :]
 
     # -- verify forward -----------------------------------------------------
     v_embeds = qwen3.embed(t_params, block)
@@ -252,6 +275,35 @@ def _cycle(
     return new_state, CycleAux(tau=tau, l_gen=l_gen)
 
 
+def _cycle(
+    state: LoopState,
+    t_params,
+    d_params,
+    temperature: jax.Array,
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    block_size: int,
+    stop_token_ids: Tuple[int, ...],
+    forced_acc: Optional[jax.Array] = None,
+    ctx_window: Optional[int] = None,
+    draft_temperature: Optional[jax.Array] = None,
+    draft_steps: int = 1,
+    with_aux: bool = False,
+):
+    """One fused draft -> verify -> accept cycle (see module docstring)."""
+    d_kv, block = _draft_stage(
+        state, t_params, d_params,
+        tcfg=tcfg, dcfg=dcfg, block_size=block_size, ctx_window=ctx_window,
+        draft_temperature=draft_temperature, draft_steps=draft_steps,
+    )
+    return _verify_stage(
+        state, d_kv, block, t_params, temperature,
+        tcfg=tcfg, dcfg=dcfg, block_size=block_size,
+        stop_token_ids=stop_token_ids, forced_acc=forced_acc, with_aux=with_aux,
+    )
+
+
 def _decode_impl(
     t_params,
     d_params,
@@ -265,6 +317,7 @@ def _decode_impl(
     stop_token_ids: Tuple[int, ...],
     max_cycles: int,
     forced_acc: Optional[jax.Array] = None,
+    draft_steps: int = 1,
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -274,6 +327,7 @@ def _decode_impl(
             s, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=forced_acc,
+            draft_steps=draft_steps,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -284,7 +338,9 @@ _prefill = jax.jit(
 )
 _decode = jax.jit(
     _decode_impl,
-    static_argnames=("tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles"),
+    static_argnames=(
+        "tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles", "draft_steps"
+    ),
 )
 
 
@@ -423,6 +479,7 @@ class SpecEngine:
         temperature: float = 0.0,
         seed: int = 0,
         forced_acc: Optional[np.ndarray] = None,
+        draft_steps: int = 1,
     ) -> GenerationResult:
         ids, prompt_len, _ = self._pad_prompt(input_ids)
         key = jax.random.PRNGKey(seed)
@@ -449,7 +506,7 @@ class SpecEngine:
             self.t_params, self.d_params, state, max_length, temp,
             tcfg=self.tcfg, dcfg=self.dcfg, block_size=self.block_size,
             stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
-            forced_acc=forced_acc,
+            forced_acc=forced_acc, draft_steps=draft_steps,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1
