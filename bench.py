@@ -74,6 +74,15 @@ def main():
     jax.block_until_ready((t_params, d_params))
     log("params initialized")
 
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "int8":
+        from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+
+        t_params = quantize_target_params(t_params, tcfg)
+        d_params = quantize_draft_params(d_params, dcfg)
+        jax.block_until_ready((t_params, d_params))
+        log("params quantized to int8 (weight-only)")
+
     engine = SpecEngine(
         tcfg, dcfg, t_params, d_params,
         max_new_tokens=max_new, block_size=block_size,

@@ -1,0 +1,289 @@
+"""Continuous batching engine: the serving layer the reference outsources to
+SGLang (reference README.md:55-69, benchmark_sglang.py) rebuilt TPU-native.
+
+R fixed lanes hold per-request decode state (the vmapped LoopState of
+spec/batched.py).  Every engine step runs ONE speculative cycle for all lanes
+in a single jitted executable; finished/idle lanes are frozen by a per-lane
+select.  Admission writes a freshly prefilled request into a free lane with a
+donated-buffer jitted update (no reallocation of the batched KV).  Because
+lanes never interact (no cross-lane reductions anywhere in the cycle), a
+request's output is independent of what the other lanes are doing — the
+invariant the tests pin.
+
+This is the "cudagraph-equivalent" design: fixed-shape executables for
+admit/cycle, driven by a host scheduler (SURVEY §2.2: continuous batching
+scheduler + per-request dynamic block schedule)."""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dflash_tpu.core.config import DraftConfig, ModelConfig
+from dflash_tpu.spec.batched import batched_cycle
+from dflash_tpu.spec.engine import LoopState, _prefill
+
+
+@dataclass
+class EngineConfig:
+    num_lanes: int = 4
+    max_new_tokens: int = 256
+    block_size: int = 16
+    prompt_cap: int = 512
+    prompt_bucket: int = 128
+    stop_token_ids: Tuple[int, ...] = ()
+    temperature: float = 0.0
+    seed: int = 0
+
+
+@dataclass
+class Request:
+    rid: int
+    input_ids: np.ndarray  # [P] int32
+    max_new_tokens: int
+    temperature: float
+    submitted_at: float = field(default_factory=time.perf_counter)
+    # filled on completion:
+    output_ids: Optional[np.ndarray] = None
+    meta_info: Optional[dict] = None
+    done_event: threading.Event = field(default_factory=threading.Event)
+
+
+def _select_lane(batched, lane: jax.Array, single):
+    """Write a batch-1 pytree into lane ``lane`` of a batched pytree."""
+    return jax.tree.map(
+        lambda full, one: jax.lax.dynamic_update_index_in_dim(full, one, lane, 0),
+        batched,
+        single,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _admit(batched_state: LoopState, lane: jax.Array, single_state: LoopState) -> LoopState:
+    return _select_lane(batched_state, lane, single_state)
+
+
+class ContinuousBatchingEngine:
+    """Host scheduler around the batched speculative cycle.
+
+    Use either synchronously (``submit`` + ``run_until_drained``) or as a
+    background loop (``start``/``stop``) serving concurrent callers.
+    """
+
+    def __init__(self, tcfg: ModelConfig, dcfg: DraftConfig, t_params, d_params,
+                 cfg: EngineConfig):
+        self.tcfg, self.dcfg = tcfg, dcfg
+        self.t_params, self.d_params = t_params, d_params
+        self.cfg = cfg
+        R = cfg.num_lanes
+        self.total_len = cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1
+        self.max_cycles = cfg.max_new_tokens
+
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._lane_req: List[Optional[Request]] = [None] * R
+        self._lane_max_length = np.zeros((R,), np.int64)
+        self._lane_prompt_len = np.zeros((R,), np.int64)
+        self._rid = itertools.count()
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self.completed: Dict[int, Request] = {}
+        self.cycle_count = 0
+
+        self._cycle_fn = jax.jit(
+            partial(
+                batched_cycle,
+                tcfg=tcfg, dcfg=dcfg, block_size=cfg.block_size,
+                stop_token_ids=tuple(cfg.stop_token_ids),
+            ),
+            donate_argnums=(0,),
+        )
+        self._state = self._empty_state(R)
+
+    # -- state management ---------------------------------------------------
+
+    def _empty_state(self, R: int) -> LoopState:
+        from dflash_tpu.cache.kv import init_kv_cache
+
+        dtype = jax.tree.leaves(self.t_params)[0].dtype
+        if dtype not in (jnp.bfloat16, jnp.float32):
+            dtype = jnp.bfloat16
+        T = self.total_len
+        mk = lambda *shape, d=jnp.int32: jnp.zeros((R,) + shape, d)
+        return LoopState(
+            output_ids=jnp.full((R, 1, T), self.dcfg.mask_token_id, jnp.int32),
+            start=jnp.zeros((R,), jnp.int32),
+            done=jnp.ones((R,), bool),  # all lanes idle
+            cycle_idx=mk(),
+            acc_trace=mk(self.max_cycles),
+            key=jnp.stack([jax.random.PRNGKey(self.cfg.seed)] * R),
+            t_kv=jax.tree.map(
+                lambda x: jnp.zeros((R,) + x.shape, x.dtype),
+                init_kv_cache(self.tcfg, 1, T, dtype),
+            ),
+            d_kv=jax.tree.map(
+                lambda x: jnp.zeros((R,) + x.shape, x.dtype),
+                init_kv_cache(self.dcfg.model, 1, T, dtype),
+            ),
+            features=jnp.zeros(
+                (R, 1, T, self.dcfg.num_taps * self.tcfg.hidden_size), dtype
+            ),
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
+               temperature: Optional[float] = None) -> Request:
+        input_ids = np.asarray(input_ids).reshape(-1)
+        if input_ids.shape[0] > self.cfg.prompt_cap:
+            raise ValueError(
+                f"prompt length {input_ids.shape[0]} exceeds prompt_cap {self.cfg.prompt_cap}"
+            )
+        req = Request(
+            rid=next(self._rid),
+            input_ids=input_ids.astype(np.int32),
+            max_new_tokens=min(max_new_tokens or self.cfg.max_new_tokens,
+                               self.cfg.max_new_tokens),
+            temperature=self.cfg.temperature if temperature is None else temperature,
+        )
+        self._queue.put(req)
+        return req
+
+    def step(self) -> int:
+        """Admit waiting requests into free lanes, run one batched cycle,
+        retire finished requests.  Returns the number of active lanes.
+
+        Idle/finished lanes advance garbage state through the cycle — that is
+        deliberate: nobody reads an idle lane (results are harvested the same
+        step the lane finishes, and admission fully re-initializes a lane), so
+        no freeze/select is needed and the executable stays branch-free.
+        Per-request temperatures currently share the engine temperature (a
+        per-lane temperature vector is the extension point)."""
+        self._admit_pending()
+        n_active = sum(r is not None for r in self._lane_req)
+        if n_active == 0:
+            return 0
+
+        temp = jnp.float32(self.cfg.temperature)
+        self._state = self._cycle_fn(self._state, self.t_params, self.d_params, temp)
+        self.cycle_count += 1
+
+        self._retire_finished()
+        return n_active
+
+    def _admit_pending(self) -> None:
+        for lane in range(self.cfg.num_lanes):
+            if self._lane_req[lane] is not None:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._admit_request(lane, req)
+
+    def _admit_request(self, lane: int, req: Request) -> None:
+        P = len(req.input_ids)
+        bucket = min(
+            self.cfg.prompt_cap,
+            ((max(P, 1) + self.cfg.prompt_bucket - 1) // self.cfg.prompt_bucket)
+            * self.cfg.prompt_bucket,
+        )
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :P] = req.input_ids
+        single = _prefill(
+            self.t_params, self.d_params, jnp.asarray(padded), jnp.int32(P),
+            jnp.float32(req.temperature),
+            jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid),
+            tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
+            max_cycles=self.max_cycles,
+        )
+        self._state = _admit(self._state, jnp.int32(lane), single)
+        self._lane_req[lane] = req
+        self._lane_prompt_len[lane] = P
+        self._lane_max_length[lane] = P + req.max_new_tokens
+
+    def _retire_finished(self) -> None:
+        start = np.asarray(self._state.start)
+        done = np.asarray(self._state.done)
+        for lane in range(self.cfg.num_lanes):
+            req = self._lane_req[lane]
+            if req is None:
+                continue
+            if not (done[lane] or start[lane] >= self._lane_max_length[lane]):
+                continue
+            self._finish(lane, req)
+
+    def _finish(self, lane: int, req: Request) -> None:
+        out = np.asarray(self._state.output_ids[lane])
+        n_cycles = int(self._state.cycle_idx[lane])
+        acc = np.asarray(self._state.acc_trace[lane])[:n_cycles]
+        P = int(self._lane_prompt_len[lane])
+        max_length = P + req.max_new_tokens
+        seq = out[0, :max_length]
+        seq = seq[seq != self.dcfg.mask_token_id]
+        if self.cfg.stop_token_ids:
+            gen = seq[P:]
+            hits = np.nonzero(np.isin(gen, list(self.cfg.stop_token_ids)))[0]
+            if hits.size > 0:
+                seq = seq[: P + hits[0] + 1]
+        req.output_ids = seq[None, :]
+        req.meta_info = {
+            "prompt_tokens": P,
+            "completion_tokens": int(seq.shape[0] - P),
+            "spec_verify_ct": n_cycles,
+            "spec_accept_length": float(acc.mean()) if n_cycles else 0.0,
+            "e2e_latency_s": time.perf_counter() - req.submitted_at,
+        }
+        self.completed[req.rid] = req
+        self._lane_req[lane] = None
+        # mark lane idle so the next cycle's freeze logic sees it done
+        self._state = self._state._replace(done=self._state.done.at[lane].set(True))
+        req.done_event.set()
+
+    def run_until_drained(self, max_steps: int = 100_000) -> None:
+        for _ in range(max_steps):
+            active = self.step()
+            if active == 0 and self._queue.empty() and all(
+                r is None for r in self._lane_req
+            ):
+                return
+        raise RuntimeError("run_until_drained exceeded max_steps")
+
+    # -- background serving loop -------------------------------------------
+
+    def start(self) -> None:
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def _loop(self) -> None:
+        while self._running:
+            with self._lock:
+                active = self.step()
+            if active == 0:
+                try:
+                    req = self._queue.get(timeout=0.05)
+                    self._queue.put(req)
+                except queue.Empty:
+                    continue
+
+    def flush(self) -> None:
+        """Drop all idle state (the /flush_cache equivalent)."""
+        with self._lock:
+            if any(r is not None for r in self._lane_req):
+                raise RuntimeError("cannot flush with active requests")
+            self._state = self._empty_state(self.cfg.num_lanes)

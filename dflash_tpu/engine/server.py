@@ -1,0 +1,170 @@
+"""Minimal HTTP serving surface over the continuous batching engine.
+
+Mirrors the SGLang endpoints the reference's serving benchmark drives
+(benchmark_sglang.py:29-95, 170-201): POST ``/generate`` with
+``{"input_ids" | "text", "sampling_params": {"max_new_tokens", "temperature"}}``
+returning ``{"output_ids", "text", "meta_info": {prompt_tokens,
+completion_tokens, spec_verify_ct, spec_accept_length, e2e_latency_s}}``;
+POST ``/flush_cache``; GET ``/health``.  Batched requests (a list body)
+fan out across lanes and return a list.
+
+Stdlib ``ThreadingHTTPServer`` — the engine's background loop owns the TPU;
+handler threads only enqueue and wait on completion events.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from dflash_tpu.engine.batching import ContinuousBatchingEngine
+
+
+class EngineHTTPServer:
+    def __init__(self, engine: ContinuousBatchingEngine, host: str = "127.0.0.1",
+                 port: int = 30000, tokenizer=None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path in ("/health", "/health_generate"):
+                    self._send(200, {"status": "ok"})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n) if n else b"{}"
+                try:
+                    payload = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    self._send(400, {"error": "invalid json"})
+                    return
+                if self.path == "/flush_cache":
+                    try:
+                        outer.engine.flush()
+                        self._send(200, {"status": "ok"})
+                    except RuntimeError as e:
+                        self._send(409, {"error": str(e)})
+                    return
+                if self.path != "/generate":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    if isinstance(payload, list):
+                        self._send(200, [outer._generate(p) for p in payload])
+                    else:
+                        self._send(200, outer._generate(payload))
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = host, self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def _generate(self, payload: dict) -> dict:
+        sp = payload.get("sampling_params", {}) or {}
+        if "input_ids" in payload:
+            ids = np.asarray(payload["input_ids"], np.int32)
+        elif "text" in payload and self.tokenizer is not None:
+            ids = np.asarray(self.tokenizer.encode(payload["text"]), np.int32)
+        else:
+            raise ValueError("need input_ids (or text with a tokenizer)")
+        req = self.engine.submit(
+            ids,
+            max_new_tokens=sp.get("max_new_tokens"),
+            temperature=sp.get("temperature"),
+        )
+        if not req.done_event.wait(timeout=600):
+            raise ValueError("generation timed out")
+        out = req.output_ids[0, req.meta_info["prompt_tokens"]:]
+        result = {
+            "output_ids": out.tolist(),
+            "meta_info": req.meta_info,
+        }
+        if self.tokenizer is not None:
+            result["text"] = self.tokenizer.decode(out, skip_special_tokens=True)
+        return result
+
+    def start(self) -> None:
+        self.engine.start()
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self.engine.stop()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
+def main(argv=None) -> None:
+    """python -m dflash_tpu.engine.server --model-name-or-path tiny ..."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-name-or-path", default="tiny")
+    p.add_argument("--draft-name-or-path", default="auto:1")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=30000)
+    p.add_argument("--num-lanes", type=int, default=4)
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--prompt-cap", type=int, default=512)
+    p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--quant", default="", choices=["", "int8"])
+    args = p.parse_args(argv)
+
+    from dflash_tpu.bench.cli import _resolve_models
+    from dflash_tpu.bench.tokenizer import resolve_tokenizer
+    from dflash_tpu.engine.batching import EngineConfig
+    from pathlib import Path
+
+    tcfg, dcfg, t_params, d_params = _resolve_models(args)
+    if args.quant == "int8":
+        from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+
+        t_params = quantize_target_params(t_params, tcfg)
+        d_params = quantize_draft_params(d_params, dcfg)
+    tokenizer = resolve_tokenizer(
+        args.model_name_or_path if Path(args.model_name_or_path).exists() else None,
+        tcfg.vocab_size,
+    )
+    engine = ContinuousBatchingEngine(
+        tcfg, dcfg, t_params, d_params,
+        EngineConfig(
+            num_lanes=args.num_lanes,
+            max_new_tokens=args.max_new_tokens,
+            block_size=args.block_size or dcfg.block_size,
+            prompt_cap=args.prompt_cap,
+            stop_token_ids=(tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None else (),
+        ),
+    )
+    server = EngineHTTPServer(engine, args.host, args.port, tokenizer)
+    server.start()
+    print(f"serving on http://{server.host}:{server.port}", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from dflash_tpu.cache.kv import KVCache, update_layer
 from dflash_tpu.core.config import DraftConfig
 from dflash_tpu.models import qwen3
 from dflash_tpu.ops.attention import gqa_attention
+from dflash_tpu.ops.linear import linear
 from dflash_tpu.ops.norms import rms_norm
 from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -46,9 +47,7 @@ def init_params(key: jax.Array, cfg: DraftConfig, dtype=jnp.bfloat16) -> dict:
 def project_features(params: dict, cfg: DraftConfig, features: jax.Array) -> jax.Array:
     """``hidden_norm(fc(features))`` — shared context input for every layer
     (reference model/dflash.py:177)."""
-    h = jnp.einsum(
-        "bsf,fh->bsh", features, params["fc"], preferred_element_type=jnp.float32
-    ).astype(features.dtype)
+    h = linear(features, params["fc"], out_dtype=features.dtype)
     return rms_norm(h, params["hidden_norm"], cfg.model.rms_norm_eps)
 
 
@@ -72,10 +71,8 @@ def ctx_kv(
     cos, sin = rope_cos_sin(positions, d, m.rope_theta, m.rope_scaling)
 
     def layer_kv(p):
-        k = jnp.einsum("bsh,hd->bsd", ctx, p["wk"], preferred_element_type=jnp.float32)
-        k = k.reshape(B, S, nkv, d).astype(ctx.dtype)
-        v = jnp.einsum("bsh,hd->bsd", ctx, p["wv"], preferred_element_type=jnp.float32)
-        v = v.reshape(B, S, nkv, d).astype(ctx.dtype)
+        k = linear(ctx, p["wk"]).reshape(B, S, nkv, d)
+        v = linear(ctx, p["wv"]).reshape(B, S, nkv, d)
         if m.use_qk_norm:
             k = rms_norm(k, p["k_norm"], m.rms_norm_eps)
         k = apply_rope(k, cos, sin)
@@ -131,12 +128,9 @@ def forward(
     def layer_step(hidden, xs):
         p, k_ctx, v_ctx = xs
         h_norm = rms_norm(hidden, p["input_ln"], m.rms_norm_eps)
-        q = jnp.einsum("bsh,hd->bsd", h_norm, p["wq"], preferred_element_type=jnp.float32)
-        q = q.reshape(B, Bk, nh, d).astype(hidden.dtype)
-        k = jnp.einsum("bsh,hd->bsd", h_norm, p["wk"], preferred_element_type=jnp.float32)
-        k = k.reshape(B, Bk, nkv, d).astype(hidden.dtype)
-        v = jnp.einsum("bsh,hd->bsd", h_norm, p["wv"], preferred_element_type=jnp.float32)
-        v = v.reshape(B, Bk, nkv, d).astype(hidden.dtype)
+        q = linear(h_norm, p["wq"]).reshape(B, Bk, nh, d)
+        k = linear(h_norm, p["wk"]).reshape(B, Bk, nkv, d)
+        v = linear(h_norm, p["wv"]).reshape(B, Bk, nkv, d)
         if m.use_qk_norm:
             q = rms_norm(q, p["q_norm"], m.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], m.rms_norm_eps)
@@ -146,7 +140,7 @@ def forward(
         k_all = jnp.concatenate([k_ctx, k], axis=1)  # [B, T+Bk, n_kv, d]
         v_all = jnp.concatenate([v_ctx, v], axis=1)
         attn = gqa_attention(q, k_all, v_all, mask, scale)
-        attn = jnp.einsum("bsd,dh->bsh", attn, p["wo"], preferred_element_type=jnp.float32).astype(hidden.dtype)
+        attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
         hidden = hidden + attn
 
         h_norm2 = rms_norm(hidden, p["post_ln"], m.rms_norm_eps)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from dflash_tpu.cache.kv import KVCache, update_layer
 from dflash_tpu.core.config import ModelConfig
 from dflash_tpu.ops.attention import gqa_attention
+from dflash_tpu.ops.linear import linear
 from dflash_tpu.ops.norms import rms_norm
 from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -95,7 +96,7 @@ def embed(params: dict, token_ids: jax.Array) -> jax.Array:
 def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
     """Logits in float32 ([..., V])."""
     w = params["lm_head"] if "lm_head" in params else params["embed"].T
-    return jnp.einsum("...h,hv->...v", hidden, w, preferred_element_type=jnp.float32)
+    return linear(hidden, w, out_dtype=jnp.float32)
 
 
 def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
@@ -122,10 +123,10 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 
 def _dense_mlp(lp: dict, x: jax.Array) -> jax.Array:
-    g = jnp.einsum("bsh,hi->bsi", x, lp["gate"], preferred_element_type=jnp.float32)
-    u = jnp.einsum("bsh,hi->bsi", x, lp["up"], preferred_element_type=jnp.float32)
+    g = linear(x, lp["gate"], out_dtype=jnp.float32)
+    u = linear(x, lp["up"], out_dtype=jnp.float32)
     act = (jax.nn.silu(g) * u).astype(x.dtype)
-    return jnp.einsum("bsi,ih->bsh", act, lp["down"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return linear(act, lp["down"])
 
 
 def forward(
@@ -161,12 +162,12 @@ def forward(
         p, k_cache, v_cache, slot = xs
 
         h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
-        q = jnp.einsum("bsh,hd->bsd", h_norm, p["wq"], preferred_element_type=jnp.float32)
-        q = q.reshape(B, S, nh, d).astype(hidden.dtype)
-        k = jnp.einsum("bsh,hd->bsd", h_norm, p["wk"], preferred_element_type=jnp.float32)
-        k = k.reshape(B, S, nkv, d).astype(hidden.dtype)
-        v = jnp.einsum("bsh,hd->bsd", h_norm, p["wv"], preferred_element_type=jnp.float32)
-        v = v.reshape(B, S, nkv, d).astype(hidden.dtype)
+        q = linear(h_norm, p["wq"])
+        q = q.reshape(B, S, nh, d)
+        k = linear(h_norm, p["wk"])
+        k = k.reshape(B, S, nkv, d)
+        v = linear(h_norm, p["wv"])
+        v = v.reshape(B, S, nkv, d)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -175,7 +176,7 @@ def forward(
 
         k_cache, v_cache = update_layer(k_cache, v_cache, k, v, write_pos)
         attn = gqa_attention(q, k_cache, v_cache, mask, scale)
-        attn = jnp.einsum("bsd,dh->bsh", attn, p["wo"], preferred_element_type=jnp.float32).astype(hidden.dtype)
+        attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
         hidden = hidden + attn
 
         h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
@@ -250,12 +251,12 @@ def forward_block_candidates(
         p, k_ctx, v_ctx, slot = xs  # ctx: [1, T, n_kv, d]
 
         h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
-        q = jnp.einsum("csh,hd->csd", h_norm, p["wq"], preferred_element_type=jnp.float32)
-        q = q.reshape(C, B, nh, d).astype(hidden.dtype)
-        k = jnp.einsum("csh,hd->csd", h_norm, p["wk"], preferred_element_type=jnp.float32)
-        k = k.reshape(C, B, nkv, d).astype(hidden.dtype)
-        v = jnp.einsum("csh,hd->csd", h_norm, p["wv"], preferred_element_type=jnp.float32)
-        v = v.reshape(C, B, nkv, d).astype(hidden.dtype)
+        q = linear(h_norm, p["wq"])
+        q = q.reshape(C, B, nh, d)
+        k = linear(h_norm, p["wk"])
+        k = k.reshape(C, B, nkv, d)
+        v = linear(h_norm, p["wv"])
+        v = v.reshape(C, B, nkv, d)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -265,7 +266,7 @@ def forward_block_candidates(
         k_all = jnp.concatenate([jnp.broadcast_to(k_ctx, (C, T, nkv, d)), k], axis=1)
         v_all = jnp.concatenate([jnp.broadcast_to(v_ctx, (C, T, nkv, d)), v], axis=1)
         attn = gqa_attention(q, k_all, v_all, mask, scale)
-        attn = jnp.einsum("csd,dh->csh", attn, p["wo"], preferred_element_type=jnp.float32).astype(hidden.dtype)
+        attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
         hidden = hidden + attn
 
         h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)

@@ -1,0 +1,93 @@
+"""Linear projection with optional weight-only quantization.
+
+All model projections route through :func:`linear`, which dispatches on the
+weight type: plain ``jnp`` arrays use an XLA einsum (fp32 accumulation);
+:class:`QTensor` weights (int8, per-output-channel scales) use the Pallas
+dequant-matmul kernel on TPU decode shapes and a dequant+einsum fallback
+elsewhere.  This is the INT8 weight-only path of the north star: decode is
+weight-bandwidth-bound, so halving weight bytes halves cycle time.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class QTensor:
+    """Weight-only quantized matrix: ``w ~= q.astype(f32) * scale``.
+
+    ``q`` is [K, N_pad] int8 (padded to kernel tiles), ``scale`` [1, N_pad]
+    float32 per output channel, ``n`` the logical output width (static aux
+    data, so QTensors can be stacked/sliced through scan and vmap).
+    """
+
+    def __init__(self, q: jax.Array, scale: jax.Array, n: int):
+        self.q = q
+        self.scale = scale
+        self.n = n
+
+    def tree_flatten(self):
+        return (self.q, self.scale), self.n
+
+    @classmethod
+    def tree_unflatten(cls, n, children):
+        return cls(children[0], children[1], n)
+
+    def __repr__(self):
+        return f"QTensor(q={getattr(self.q, 'shape', self.q)}, n={self.n})"
+
+
+Weight = Union[jax.Array, QTensor]
+
+
+def quantize_weight(w: jax.Array, pad_to: int = 1) -> QTensor:
+    """Per-output-channel symmetric int8 quantization of ``w`` [K, N]."""
+    K, N = w.shape
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)  # [1, N]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    if pad_to > 1 and N % pad_to:
+        pad = pad_to - N % pad_to
+        q = jnp.pad(q, ((0, 0), (0, pad)))
+        scale = jnp.pad(scale, ((0, 0), (0, pad)), constant_values=1.0)
+    return QTensor(q=q, scale=scale, n=N)
+
+
+def dequantize(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    return (w.q.astype(jnp.float32) * w.scale).astype(dtype)[:, : w.n]
+
+
+def _use_pallas(x2d: jax.Array, w: QTensor) -> bool:
+    if jax.devices()[0].platform != "tpu":
+        return False
+    K, Np = w.q.shape
+    return K % 256 == 0 and Np % 256 == 0
+
+
+def linear(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
+    """``x @ w`` with fp32 accumulation; returns ``out_dtype`` (default x.dtype).
+
+    x: [..., K]; dense w: [K, N]; quantized w: QTensor.
+    """
+    out_dtype = out_dtype or x.dtype
+    if isinstance(w, QTensor):
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        x2d = x.reshape(-1, K)
+        if _use_pallas(x2d, w):
+            from dflash_tpu.kernels.matmul_q import matmul_int8
+
+            out = matmul_int8(x2d, w.q, w.scale)
+        else:
+            wq = (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
+            out = jnp.einsum("sk,kn->sn", x2d, wq, preferred_element_type=jnp.float32)
+        out = out[:, : w.n].reshape(*lead, w.n)
+        return out.astype(out_dtype)
+    return jnp.einsum(
+        "...k,kn->...n", x, w, preferred_element_type=jnp.float32
+    ).astype(out_dtype)

@@ -1,0 +1,140 @@
+"""Continuous batching engine + HTTP serving surface."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+from dflash_tpu.engine import ContinuousBatchingEngine, EngineConfig
+from dflash_tpu.models import dflash_draft, qwen3
+
+DTYPE = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def models():
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, DTYPE)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, DTYPE)
+    return tcfg, dcfg, t_params, d_params
+
+
+def make_engine(models, **kw):
+    tcfg, dcfg, t_params, d_params = models
+    cfg = EngineConfig(
+        num_lanes=kw.pop("num_lanes", 3),
+        max_new_tokens=kw.pop("max_new_tokens", 12),
+        block_size=4,
+        prompt_cap=32,
+        prompt_bucket=16,
+        **kw,
+    )
+    return ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg)
+
+
+def test_single_request_completes(models):
+    eng = make_engine(models)
+    req = eng.submit(np.asarray([5, 6, 7, 8]))
+    eng.run_until_drained()
+    assert req.output_ids is not None
+    assert req.meta_info["completion_tokens"] >= 1
+    assert req.meta_info["spec_verify_ct"] >= 1
+    assert 1.0 <= req.meta_info["spec_accept_length"] <= 4.0
+    np.testing.assert_array_equal(req.output_ids[0, :4], [5, 6, 7, 8])
+
+
+def test_identical_requests_in_different_lanes_agree(models):
+    """Lane independence: the same prompt gives the same output regardless of
+    which lane it runs in or what the other lanes are doing."""
+    eng = make_engine(models, num_lanes=3)
+    a = eng.submit(np.asarray([5, 6, 7]))
+    b = eng.submit(np.asarray([9, 10, 11, 12, 13]))  # different load in lane 1
+    c = eng.submit(np.asarray([5, 6, 7]))
+    eng.run_until_drained()
+    np.testing.assert_array_equal(a.output_ids, c.output_ids)
+    assert a.output_ids.shape != b.output_ids.shape or not np.array_equal(
+        a.output_ids, b.output_ids
+    )
+
+
+def test_more_requests_than_lanes(models):
+    eng = make_engine(models, num_lanes=2)
+    reqs = [eng.submit(np.asarray([3 + i, 4, 5])) for i in range(5)]
+    eng.run_until_drained()
+    for r in reqs:
+        assert r.output_ids is not None
+        assert r.meta_info["completion_tokens"] >= 1
+
+
+def test_staggered_admission_does_not_corrupt_running_lane(models):
+    """Admit a request mid-flight of another; the first must be unaffected."""
+    eng = make_engine(models, num_lanes=2)
+    solo = make_engine(models, num_lanes=2)
+
+    a_ref = solo.submit(np.asarray([5, 6, 7]))
+    solo.run_until_drained()
+
+    a = eng.submit(np.asarray([5, 6, 7]))
+    eng.step()  # a starts decoding
+    b = eng.submit(np.asarray([20, 21, 22, 23]))  # lands in lane 1 next step
+    eng.run_until_drained()
+    np.testing.assert_array_equal(a.output_ids, a_ref.output_ids)
+    assert b.output_ids is not None
+
+
+def test_stop_tokens_respected(models):
+    tcfg, dcfg, t_params, d_params = models
+    cfg = EngineConfig(
+        num_lanes=2, max_new_tokens=16, block_size=4, prompt_cap=32,
+        prompt_bucket=16, stop_token_ids=tuple(range(0, 256)),
+    )
+    eng = ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg)
+    req = eng.submit(np.asarray([5, 6, 7]))
+    eng.run_until_drained()
+    assert req.meta_info["completion_tokens"] < 16
+    assert int(req.output_ids[0, -1]) in range(0, 256)
+
+
+def test_http_server_generate_and_flush(models):
+    from dflash_tpu.bench.tokenizer import SyntheticTokenizer
+    from dflash_tpu.engine.server import EngineHTTPServer
+
+    tcfg, dcfg, t_params, d_params = models
+    eng = make_engine(models, num_lanes=2)
+    server = EngineHTTPServer(eng, port=0, tokenizer=SyntheticTokenizer(tcfg.vocab_size))
+    server.start()
+    try:
+        url = f"http://{server.host}:{server.port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                url + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        with urllib.request.urlopen(url + "/health", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        out = post("/generate", {
+            "input_ids": [5, 6, 7, 8],
+            "sampling_params": {"max_new_tokens": 8},
+        })
+        assert len(out["output_ids"]) >= 1
+        assert out["meta_info"]["spec_verify_ct"] >= 1
+        assert "text" in out
+
+        batch = post("/generate", [
+            {"input_ids": [5, 6, 7], "sampling_params": {"max_new_tokens": 4}},
+            {"input_ids": [9, 10], "sampling_params": {"max_new_tokens": 4}},
+        ])
+        assert isinstance(batch, list) and len(batch) == 2
+    finally:
+        server.stop()

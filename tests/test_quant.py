@@ -1,0 +1,124 @@
+"""INT8 weight-only quantization: numerics, pytree behavior, engine parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+from dflash_tpu.models import dflash_draft, qwen3
+from dflash_tpu.ops.linear import QTensor, dequantize, linear, quantize_weight
+from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+from dflash_tpu.spec.engine import SpecEngine
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    qt = quantize_weight(w)
+    wd = dequantize(qt, jnp.float32)
+    # per-channel absmax scaling: error <= scale/2 = absmax/254 per element
+    absmax = np.abs(np.asarray(w)).max(0, keepdims=True)
+    assert np.max(np.abs(np.asarray(wd) - np.asarray(w)) / (absmax + 1e-9)) <= 1 / 127
+
+
+def test_quantize_padding_and_slicing():
+    w = jnp.ones((32, 100), jnp.float32)
+    qt = quantize_weight(w, pad_to=64)
+    assert qt.q.shape == (32, 128)
+    assert qt.n == 100
+    x = jnp.ones((2, 32), jnp.float32)
+    out = linear(x, qt)
+    assert out.shape == (2, 100)
+    np.testing.assert_allclose(np.asarray(out), 32.0, rtol=1e-2)
+
+
+def test_linear_quantized_close_to_dense():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    dense = np.asarray(linear(x, w))
+    quant = np.asarray(linear(x, quantize_weight(w)))
+    rel = np.abs(dense - quant) / (np.abs(dense).max() + 1e-9)
+    assert rel.max() < 0.02
+
+
+def test_qtensor_scans_and_vmaps():
+    """QTensor must slice through scan/vmap with n preserved as static aux."""
+    qts = jax.vmap(lambda w: quantize_weight(w, pad_to=8))(
+        jnp.ones((3, 8, 10), jnp.float32)
+    )
+    assert qts.q.shape == (3, 8, 16)
+    assert qts.n == 10
+
+    def body(carry, qt):
+        y = linear(jnp.ones((1, 8), jnp.float32), qt)
+        return carry + y.sum(), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), qts)
+    assert float(total) == pytest.approx(3 * 10 * 8, rel=1e-2)
+
+
+def test_spec_equals_ar_with_quantized_params():
+    """Parity oracle must hold with int8 weights (both paths share them)."""
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=2)
+    t_params = quantize_target_params(
+        qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32), tcfg, pad_to=64
+    )
+    d_params = quantize_draft_params(
+        dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32), dcfg, pad_to=64
+    )
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=16,
+        block_size=8, prompt_cap=32, prompt_bucket=16,
+    )
+    prompt = np.random.default_rng(2).integers(0, tcfg.vocab_size - 2, size=(1, 5))
+    spec = engine.generate(prompt, temperature=0.0)
+    ar = engine.ar_generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
+
+
+def test_pallas_matmul_int8_matches_reference():
+    """Kernel numerics vs the XLA dequant einsum (runs in interpret mode on CPU)."""
+    from dflash_tpu.kernels.matmul_q import _kernel
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    S, K, N, bk, bn = 16, 512, 512, 256, 256
+    x = jnp.asarray(rng.normal(size=(S, K)).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.integers(-127, 127, size=(K, N)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, size=(1, N)).astype(np.float32))
+
+    n_k = K // bk
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k),
+        grid=(N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((S, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, bn), jnp.float32)],
+        interpret=True,
+    )(x, w, scale)
+
+    # Kernel math: f32-accumulate x @ int8-as-bf16, then per-channel scale.
+    expect = (
+        jnp.einsum(
+            "sk,kn->sn", x, w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-4)
+    # And it stays close to the ideal dequantized matmul.
+    ideal = jnp.einsum(
+        "sk,kn->sn", x.astype(jnp.float32), w.astype(jnp.float32) * scale
+    )
+    err = np.abs(np.asarray(out) - np.asarray(ideal)) / (np.abs(np.asarray(ideal)).max() + 1e-9)
+    assert err.max() < 0.02
