@@ -51,3 +51,77 @@ def update_layer(
         jax.lax.dynamic_update_slice(k_layer, k_new.astype(k_layer.dtype), idx),
         jax.lax.dynamic_update_slice(v_layer, v_new.astype(v_layer.dtype), idx),
     )
+
+
+# ---------------------------------------------------------------------------
+# INT8-quantized KV cache (per-row-per-head symmetric scales)
+# ---------------------------------------------------------------------------
+
+class QuantKVCache(NamedTuple):
+    """int8 K/V with per (position, kv-head) fp32 scales.
+
+    Halves cache HBM traffic and capacity vs bf16 (the north-star "quantized
+    paged KV-cache"); rollback semantics are identical to KVCache (absolute
+    positions + frontier masking)."""
+
+    k: jax.Array  # [L, B, T, n_kv, d] int8
+    k_scale: jax.Array  # [L, B, T, n_kv] f32
+    v: jax.Array  # int8
+    v_scale: jax.Array  # f32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_quant_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> QuantKVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    sshape = shape[:-1]
+    return QuantKVCache(
+        k=jnp.zeros(shape, jnp.int8),
+        k_scale=jnp.ones(sshape, jnp.float32),
+        v=jnp.zeros(shape, jnp.int8),
+        v_scale=jnp.ones(sshape, jnp.float32),
+    )
+
+
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., d] -> (int8 values, fp32 scale over the last axis)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def update_layer_quant(
+    k_layer: jax.Array,  # [B, T, n_kv, d] int8
+    ks_layer: jax.Array,  # [B, T, n_kv] f32
+    v_layer: jax.Array,
+    vs_layer: jax.Array,
+    k_new: jax.Array,  # [B, S, n_kv, d] bf16
+    v_new: jax.Array,
+    write_pos: jax.Array,
+):
+    zero = jnp.zeros((), jnp.int32)
+    idx4 = (zero, write_pos.astype(jnp.int32), zero, zero)
+    idx3 = (zero, write_pos.astype(jnp.int32), zero)
+    kq, ks = quantize_rows(k_new)
+    vq, vs = quantize_rows(v_new)
+    return (
+        jax.lax.dynamic_update_slice(k_layer, kq, idx4),
+        jax.lax.dynamic_update_slice(ks_layer, ks, idx3),
+        jax.lax.dynamic_update_slice(v_layer, vq, idx4),
+        jax.lax.dynamic_update_slice(vs_layer, vs, idx3),
+    )
+
+
+def update_any(cache_layer, k_new: jax.Array, v_new: jax.Array, write_pos: jax.Array):
+    """Write new K/V rows into a per-layer cache slice of either cache type."""
+    if isinstance(cache_layer, QuantKVCache):
+        k, ks, v, vs = update_layer_quant(
+            cache_layer.k, cache_layer.k_scale, cache_layer.v, cache_layer.v_scale,
+            k_new, v_new, write_pos,
+        )
+        return QuantKVCache(k, ks, v, vs)
+    k, v = update_layer(cache_layer.k, cache_layer.v, k_new, v_new, write_pos)
+    return KVCache(k, v)

@@ -47,6 +47,16 @@ def _stack(tensors: Dict, fmt: str, L: int, transpose: bool = False, dtype=jnp.b
     return jnp.stack(arrs).astype(dtype)
 
 
+def _stack_fused(tensors: Dict, fmts, L: int, dtype=jnp.bfloat16):
+    """Stack per-layer fused projections: concat the (transposed) weights of
+    several HF linears along the output axis (qkv / gate+up fusion)."""
+    arrs = []
+    for i in range(L):
+        parts = [tensors[f.format(i=i)].T for f in fmts]
+        arrs.append(jnp.concatenate(parts, axis=1))
+    return jnp.stack(arrs).astype(dtype)
+
+
 def load_target_params(path: str | Path, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
     """Load a Qwen3/Llama-family causal LM checkpoint."""
     path = Path(path)
@@ -57,9 +67,13 @@ def load_target_params(path: str | Path, cfg: ModelConfig, dtype=jnp.bfloat16) -
     layers: dict = {
         "input_ln": _stack(t, p + "layers.{i}.input_layernorm.weight", L, dtype=dtype),
         "post_ln": _stack(t, p + "layers.{i}.post_attention_layernorm.weight", L, dtype=dtype),
-        "wq": _stack(t, p + "layers.{i}.self_attn.q_proj.weight", L, transpose=True, dtype=dtype),
-        "wk": _stack(t, p + "layers.{i}.self_attn.k_proj.weight", L, transpose=True, dtype=dtype),
-        "wv": _stack(t, p + "layers.{i}.self_attn.v_proj.weight", L, transpose=True, dtype=dtype),
+        "wqkv": _stack_fused(
+            t,
+            [p + "layers.{i}.self_attn.q_proj.weight",
+             p + "layers.{i}.self_attn.k_proj.weight",
+             p + "layers.{i}.self_attn.v_proj.weight"],
+            L, dtype=dtype,
+        ),
         "wo": _stack(t, p + "layers.{i}.self_attn.o_proj.weight", L, transpose=True, dtype=dtype),
     }
     if cfg.use_qk_norm:
@@ -81,8 +95,11 @@ def load_target_params(path: str | Path, cfg: ModelConfig, dtype=jnp.bfloat16) -
                 )
             layers[our] = jnp.stack(per_layer).astype(dtype)
     else:
-        layers["gate"] = _stack(t, p + "layers.{i}.mlp.gate_proj.weight", L, transpose=True, dtype=dtype)
-        layers["up"] = _stack(t, p + "layers.{i}.mlp.up_proj.weight", L, transpose=True, dtype=dtype)
+        layers["wgu"] = _stack_fused(
+            t,
+            [p + "layers.{i}.mlp.gate_proj.weight", p + "layers.{i}.mlp.up_proj.weight"],
+            L, dtype=dtype,
+        )
         layers["down"] = _stack(t, p + "layers.{i}.mlp.down_proj.weight", L, transpose=True, dtype=dtype)
 
     params = {
@@ -107,12 +124,19 @@ def load_draft_params(path: str | Path, cfg: DraftConfig, dtype=jnp.bfloat16) ->
     layers = {
         "input_ln": _stack(t, p + "layers.{i}.input_layernorm.weight", L, dtype=dtype),
         "post_ln": _stack(t, p + "layers.{i}.post_attention_layernorm.weight", L, dtype=dtype),
-        "wq": _stack(t, p + "layers.{i}.self_attn.q_proj.weight", L, transpose=True, dtype=dtype),
-        "wk": _stack(t, p + "layers.{i}.self_attn.k_proj.weight", L, transpose=True, dtype=dtype),
-        "wv": _stack(t, p + "layers.{i}.self_attn.v_proj.weight", L, transpose=True, dtype=dtype),
+        "wqkv": _stack_fused(
+            t,
+            [p + "layers.{i}.self_attn.q_proj.weight",
+             p + "layers.{i}.self_attn.k_proj.weight",
+             p + "layers.{i}.self_attn.v_proj.weight"],
+            L, dtype=dtype,
+        ),
         "wo": _stack(t, p + "layers.{i}.self_attn.o_proj.weight", L, transpose=True, dtype=dtype),
-        "gate": _stack(t, p + "layers.{i}.mlp.gate_proj.weight", L, transpose=True, dtype=dtype),
-        "up": _stack(t, p + "layers.{i}.mlp.up_proj.weight", L, transpose=True, dtype=dtype),
+        "wgu": _stack_fused(
+            t,
+            [p + "layers.{i}.mlp.gate_proj.weight", p + "layers.{i}.mlp.up_proj.weight"],
+            L, dtype=dtype,
+        ),
         "down": _stack(t, p + "layers.{i}.mlp.down_proj.weight", L, transpose=True, dtype=dtype),
     }
     if m.use_qk_norm:

@@ -20,9 +20,9 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from dflash_tpu.cache.kv import KVCache, update_layer
+from dflash_tpu.cache.kv import KVCache, QuantKVCache, update_any, update_layer
 from dflash_tpu.core.config import ModelConfig
-from dflash_tpu.ops.attention import gqa_attention
+from dflash_tpu.ops.attention import gqa_attention, gqa_attention_quant
 from dflash_tpu.ops.linear import linear
 from dflash_tpu.ops.norms import rms_norm
 from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -31,7 +31,16 @@ from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
 class ForwardResult(NamedTuple):
     hidden: jax.Array  # [B, S, H] — final-norm'd hidden states
     taps: jax.Array  # [B, S, n_taps * H] — concatenated tap-layer outputs
-    kv: KVCache
+    kv: KVCache  # or QuantKVCache
+
+
+def _attend_cache(q, cache_layer, mask, scale):
+    if isinstance(cache_layer, QuantKVCache):
+        return gqa_attention_quant(
+            q, cache_layer.k, cache_layer.k_scale, cache_layer.v,
+            cache_layer.v_scale, mask, scale,
+        )
+    return gqa_attention(q, cache_layer.k, cache_layer.v, mask, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -45,14 +54,23 @@ def init_layer_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16) -> d
     keys = iter(jax.random.split(key, 16))
 
     def w(shape, k):
+        # Generate stacked weights layer-by-layer: a single fused normal of
+        # [L, K, N] would materialize an f32 transient of several GB (wgu on
+        # a 4B model is 7.2GB f32), which can OOM a chip that comfortably
+        # holds the bf16 params.
+        if len(shape) >= 3:
+            kk = jax.random.split(k, shape[0])
+            return jnp.stack(
+                [(jax.random.normal(ki, shape[1:], jnp.float32) * 0.02).astype(dtype) for ki in kk]
+            )
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
 
+    # q/k/v are fused into one GEMM (and gate/up below): decode matmuls are
+    # skinny and latency-bound, so fewer-but-wider GEMMs per layer win.
     params = {
         "input_ln": jnp.ones((L, H), dtype),
         "post_ln": jnp.ones((L, H), dtype),
-        "wq": w((L, H, nh * d), next(keys)),
-        "wk": w((L, H, nkv * d), next(keys)),
-        "wv": w((L, H, nkv * d), next(keys)),
+        "wqkv": w((L, H, (nh + 2 * nkv) * d), next(keys)),
         "wo": w((L, nh * d, H), next(keys)),
     }
     if cfg.use_qk_norm:
@@ -65,8 +83,7 @@ def init_layer_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16) -> d
         params["up"] = w((L, E, H, Im), next(keys))
         params["down"] = w((L, E, Im, H), next(keys))
     else:
-        params["gate"] = w((L, H, I), next(keys))
-        params["up"] = w((L, H, I), next(keys))
+        params["wgu"] = w((L, H, 2 * I), next(keys))
         params["down"] = w((L, I, H), next(keys))
     return params
 
@@ -123,8 +140,8 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 
 def _dense_mlp(lp: dict, x: jax.Array) -> jax.Array:
-    g = linear(x, lp["gate"], out_dtype=jnp.float32)
-    u = linear(x, lp["up"], out_dtype=jnp.float32)
+    gu = linear(x, lp["wgu"], out_dtype=jnp.float32)
+    g, u = jnp.split(gu, 2, axis=-1)
     act = (jax.nn.silu(g) * u).astype(x.dtype)
     return linear(act, lp["down"])
 
@@ -159,23 +176,21 @@ def forward(
 
     def layer_step(carry, xs):
         hidden, taps = carry
-        p, k_cache, v_cache, slot = xs
+        p, cache_layer, slot = xs
 
         h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
-        q = linear(h_norm, p["wq"])
-        q = q.reshape(B, S, nh, d)
-        k = linear(h_norm, p["wk"])
-        k = k.reshape(B, S, nkv, d)
-        v = linear(h_norm, p["wv"])
-        v = v.reshape(B, S, nkv, d)
+        qkv = linear(h_norm, p["wqkv"])
+        q = qkv[..., : nh * d].reshape(B, S, nh, d)
+        k = qkv[..., nh * d : (nh + nkv) * d].reshape(B, S, nkv, d)
+        v = qkv[..., (nh + nkv) * d :].reshape(B, S, nkv, d)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_cache, v_cache = update_layer(k_cache, v_cache, k, v, write_pos)
-        attn = gqa_attention(q, k_cache, v_cache, mask, scale)
+        cache_layer = update_any(cache_layer, k, v, write_pos)
+        attn = _attend_cache(q, cache_layer, mask, scale)
         attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
         hidden = hidden + attn
 
@@ -188,14 +203,14 @@ def forward(
                 taps, hidden, jnp.maximum(slot, 0), 0
             )
             taps = jnp.where(slot >= 0, updated, taps)
-        return (hidden, taps), (k_cache, v_cache)
+        return (hidden, taps), cache_layer
 
-    (hidden, taps), (k_new, v_new) = jax.lax.scan(
-        layer_step, (embeds, taps0), (lp, kv.k, kv.v, tap_slots)
+    (hidden, taps), new_kv = jax.lax.scan(
+        layer_step, (embeds, taps0), (lp, kv, tap_slots)
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     taps_concat = jnp.moveaxis(taps, 0, -2).reshape(B, S, max(n_taps, 1) * H)
-    return ForwardResult(hidden=hidden, taps=taps_concat, kv=KVCache(k_new, v_new))
+    return ForwardResult(hidden=hidden, taps=taps_concat, kv=new_kv)
 
 
 class CandidateForwardResult(NamedTuple):
@@ -248,15 +263,25 @@ def forward_block_candidates(
 
     def layer_step(carry, xs):
         hidden, taps = carry
-        p, k_ctx, v_ctx, slot = xs  # ctx: [1, T, n_kv, d]
+        p, ctx_layer, slot = xs  # ctx cache layer slice, [1, T, n_kv, d]
+        if isinstance(ctx_layer, QuantKVCache):
+            # Candidates attend a dequantized copy of the shared ctx rows
+            # (the plain decode path consumes int8 directly; this mode trades
+            # that saving for the concat layout).
+            k_ctx = (
+                ctx_layer.k.astype(jnp.float32) * ctx_layer.k_scale[..., None]
+            ).astype(hidden.dtype)
+            v_ctx = (
+                ctx_layer.v.astype(jnp.float32) * ctx_layer.v_scale[..., None]
+            ).astype(hidden.dtype)
+        else:
+            k_ctx, v_ctx = ctx_layer.k, ctx_layer.v
 
         h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
-        q = linear(h_norm, p["wq"])
-        q = q.reshape(C, B, nh, d)
-        k = linear(h_norm, p["wk"])
-        k = k.reshape(C, B, nkv, d)
-        v = linear(h_norm, p["wv"])
-        v = v.reshape(C, B, nkv, d)
+        qkv = linear(h_norm, p["wqkv"])
+        q = qkv[..., : nh * d].reshape(C, B, nh, d)
+        k = qkv[..., nh * d : (nh + nkv) * d].reshape(C, B, nkv, d)
+        v = qkv[..., (nh + nkv) * d :].reshape(C, B, nkv, d)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -281,7 +306,7 @@ def forward_block_candidates(
         return (hidden, taps), (k, v)
 
     (hidden, taps), (blk_k, blk_v) = jax.lax.scan(
-        layer_step, (embeds, taps0), (lp, ctx_kv.k, ctx_kv.v, tap_slots)
+        layer_step, (embeds, taps0), (lp, ctx_kv, tap_slots)
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     taps_concat = jnp.moveaxis(taps, 0, -2).reshape(C, B, max(n_taps, 1) * H)

@@ -38,9 +38,7 @@ def _layer_specs(cfg: ModelConfig) -> dict:
     specs = {
         "input_ln": P(),
         "post_ln": P(),
-        "wq": P(None, None, "tp"),
-        "wk": P(None, None, "tp"),
-        "wv": P(None, None, "tp"),
+        "wqkv": P(None, None, "tp"),
         "wo": P(None, "tp", None),
     }
     if cfg.use_qk_norm:
@@ -55,8 +53,7 @@ def _layer_specs(cfg: ModelConfig) -> dict:
         )
     else:
         specs.update(
-            gate=P(None, None, "tp"),
-            up=P(None, None, "tp"),
+            wgu=P(None, None, "tp"),
             down=P(None, "tp", None),
         )
     return specs

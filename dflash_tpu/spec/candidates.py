@@ -340,15 +340,15 @@ def _candidate_cycle(
     for sid in stop_token_ids:
         eos_hit = eos_hit | jnp.any((commit == sid) & committed_mask)
 
-    # commit winner's block K/V into the main cache (branch-select == gather)
+    # commit winner's block K/V into the main cache (branch-select == gather);
+    # update_any quantizes on write when the cache is int8
+    from dflash_tpu.cache.kv import update_any
+
     blk_k = res.blk_k[:, winner]  # [L, B, n_kv, d]
     blk_v = res.blk_v[:, winner]
-    from dflash_tpu.cache.kv import KVCache, update_layer
-
-    k_new, v_new = jax.vmap(update_layer, in_axes=(0, 0, 0, 0, None))(
-        state.t_kv.k, state.t_kv.v, blk_k[:, None], blk_v[:, None], start
+    t_kv = jax.vmap(update_any, in_axes=(0, 0, 0, None))(
+        state.t_kv, blk_k[:, None], blk_v[:, None], start
     )
-    t_kv = KVCache(k_new, v_new)
 
     features = jax.lax.dynamic_update_slice(
         state.features, res.taps[winner][None], (0, start, 0)
@@ -420,7 +420,7 @@ def candidate_generate(
     state = _prefill(
         engine.t_params, engine.d_params, ids, plen, temp, key,
         tcfg=engine.tcfg, dcfg=engine.dcfg, total_len=engine.total_len,
-        max_cycles=engine.max_new_tokens,
+        max_cycles=engine.max_new_tokens, kv_quant=engine.kv_quant,
     )
     state.output_ids.block_until_ready()
     ttft = time.perf_counter() - t0

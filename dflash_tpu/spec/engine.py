@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dflash_tpu.cache.kv import KVCache, init_kv_cache
+from dflash_tpu.cache.kv import KVCache, init_kv_cache, init_quant_kv_cache
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
 from dflash_tpu.ops.sampling import acceptance_length, sample
@@ -79,6 +79,7 @@ def _prefill_impl(
     dcfg: DraftConfig,
     total_len: int,
     max_cycles: int,
+    kv_quant: bool = False,
 ) -> LoopState:
     """Target prefill + first-token sample + draft context prefill.
 
@@ -91,7 +92,10 @@ def _prefill_impl(
     key, k_sample = jax.random.split(key)
 
     dtype = t_params["embed"].dtype
-    t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
+    if kv_quant:
+        t_kv = init_quant_kv_cache(tcfg, 1, total_len)
+    else:
+        t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
     d_kv = init_kv_cache(dcfg.model, 1, total_len, dtype)
 
     positions = jnp.arange(P, dtype=jnp.int32)[None, :]
@@ -334,7 +338,8 @@ def _decode_impl(
 
 
 _prefill = jax.jit(
-    _prefill_impl, static_argnames=("tcfg", "dcfg", "total_len", "max_cycles")
+    _prefill_impl,
+    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles", "kv_quant"),
 )
 _decode = jax.jit(
     _decode_impl,
@@ -357,14 +362,17 @@ class ARState(NamedTuple):
     t_kv: KVCache
 
 
-@partial(jax.jit, static_argnames=("tcfg", "total_len", "mask_token_id"))
+@partial(jax.jit, static_argnames=("tcfg", "total_len", "mask_token_id", "kv_quant"))
 def _ar_prefill(
     t_params, input_ids, prompt_len, temperature, key,
-    *, tcfg: ModelConfig, total_len: int, mask_token_id: int,
+    *, tcfg: ModelConfig, total_len: int, mask_token_id: int, kv_quant: bool = False,
 ) -> ARState:
     P = input_ids.shape[1]
     key, k_sample = jax.random.split(key)
-    t_kv = init_kv_cache(tcfg, 1, total_len, t_params["embed"].dtype)
+    if kv_quant:
+        t_kv = init_quant_kv_cache(tcfg, 1, total_len)
+    else:
+        t_kv = init_kv_cache(tcfg, 1, total_len, t_params["embed"].dtype)
     positions = jnp.arange(P, dtype=jnp.int32)[None, :]
     embeds = qwen3.embed(t_params, input_ids)
     mask = qwen3.causal_mask(positions[0], total_len)
@@ -436,6 +444,7 @@ class SpecEngine:
         prompt_cap: int = 1024,
         prompt_bucket: int = 128,
         stop_token_ids: Sequence[int] = (),
+        kv_quant: bool = False,
     ):
         self.tcfg = tcfg
         self.dcfg = dcfg
@@ -446,6 +455,7 @@ class SpecEngine:
         self.prompt_cap = int(prompt_cap)
         self.prompt_bucket = int(prompt_bucket)
         self.stop_token_ids = tuple(int(s) for s in stop_token_ids)
+        self.kv_quant = bool(kv_quant)
         self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
 
     def _pad_prompt(self, input_ids: np.ndarray) -> tuple[jax.Array, int, int]:
@@ -491,7 +501,7 @@ class SpecEngine:
         state = _prefill(
             self.t_params, self.d_params, ids, plen, temp, key,
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
-            max_cycles=self.max_new_tokens,
+            max_cycles=self.max_new_tokens, kv_quant=self.kv_quant,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -542,7 +552,7 @@ class SpecEngine:
         state = _ar_prefill(
             self.t_params, ids, plen, temp, key,
             tcfg=self.tcfg, total_len=self.total_len,
-            mask_token_id=self.dcfg.mask_token_id,
+            mask_token_id=self.dcfg.mask_token_id, kv_quant=self.kv_quant,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0

@@ -115,6 +115,7 @@ def multiround_generate(
     st = _ar_prefill(
         engine.t_params, ids, jnp.int32(prompt_len), temp, key,
         tcfg=tcfg, total_len=engine.total_len, mask_token_id=dcfg.mask_token_id,
+        kv_quant=engine.kv_quant,
     )
     st.output_ids.block_until_ready()
     ttft = time.perf_counter() - t0

@@ -64,7 +64,7 @@ def profiled_generate(
     state = _prefill(
         engine.t_params, engine.d_params, ids, jnp.int32(prompt_len), temp, key,
         tcfg=engine.tcfg, dcfg=engine.dcfg, total_len=engine.total_len,
-        max_cycles=engine.max_new_tokens,
+        max_cycles=engine.max_new_tokens, kv_quant=engine.kv_quant,
     )
     state.output_ids.block_until_ready()
     ttft = time.perf_counter() - t0

@@ -186,7 +186,7 @@ def suffix_seed_generate(
     inner = _prefill(
         engine.t_params, engine.d_params, ids, jnp.int32(prompt_len), temp, key,
         tcfg=engine.tcfg, dcfg=engine.dcfg, total_len=engine.total_len,
-        max_cycles=engine.max_new_tokens,
+        max_cycles=engine.max_new_tokens, kv_quant=engine.kv_quant,
     )
     inner.output_ids.block_until_ready()
     ttft = time.perf_counter() - t0
