@@ -70,15 +70,9 @@ def ctx_kv(
     ctx = project_features(params, cfg, features)
     cos, sin = rope_cos_sin(positions, d, m.rope_theta, m.rope_scaling)
 
-    nh = m.num_attention_heads
-
     def layer_kv(p):
-        # The fused qkv projection also produces q rows for the ctx — they are
-        # discarded (ctx rows are keys/values only); the window is tiny (<= B
-        # rows per cycle) so the waste is negligible vs a separate kv GEMM.
-        qkv = linear(ctx, p["wqkv"])
-        k = qkv[..., nh * d : (nh + nkv) * d].reshape(B, S, nkv, d)
-        v = qkv[..., (nh + nkv) * d :].reshape(B, S, nkv, d)
+        k = linear(ctx, p["wk"]).reshape(B, S, nkv, d)
+        v = linear(ctx, p["wv"]).reshape(B, S, nkv, d)
         if m.use_qk_norm:
             k = rms_norm(k, p["k_norm"], m.rms_norm_eps)
         k = apply_rope(k, cos, sin)
@@ -134,10 +128,9 @@ def forward(
     def layer_step(hidden, xs):
         p, k_ctx, v_ctx = xs
         h_norm = rms_norm(hidden, p["input_ln"], m.rms_norm_eps)
-        qkv = linear(h_norm, p["wqkv"])
-        q = qkv[..., : nh * d].reshape(B, Bk, nh, d)
-        k = qkv[..., nh * d : (nh + nkv) * d].reshape(B, Bk, nkv, d)
-        v = qkv[..., (nh + nkv) * d :].reshape(B, Bk, nkv, d)
+        q = linear(h_norm, p["wq"]).reshape(B, Bk, nh, d)
+        k = linear(h_norm, p["wk"]).reshape(B, Bk, nkv, d)
+        v = linear(h_norm, p["wv"]).reshape(B, Bk, nkv, d)
         if m.use_qk_norm:
             q = rms_norm(q, p["q_norm"], m.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], m.rms_norm_eps)

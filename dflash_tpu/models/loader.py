@@ -67,13 +67,9 @@ def load_target_params(path: str | Path, cfg: ModelConfig, dtype=jnp.bfloat16) -
     layers: dict = {
         "input_ln": _stack(t, p + "layers.{i}.input_layernorm.weight", L, dtype=dtype),
         "post_ln": _stack(t, p + "layers.{i}.post_attention_layernorm.weight", L, dtype=dtype),
-        "wqkv": _stack_fused(
-            t,
-            [p + "layers.{i}.self_attn.q_proj.weight",
-             p + "layers.{i}.self_attn.k_proj.weight",
-             p + "layers.{i}.self_attn.v_proj.weight"],
-            L, dtype=dtype,
-        ),
+        "wq": _stack(t, p + "layers.{i}.self_attn.q_proj.weight", L, transpose=True, dtype=dtype),
+        "wk": _stack(t, p + "layers.{i}.self_attn.k_proj.weight", L, transpose=True, dtype=dtype),
+        "wv": _stack(t, p + "layers.{i}.self_attn.v_proj.weight", L, transpose=True, dtype=dtype),
         "wo": _stack(t, p + "layers.{i}.self_attn.o_proj.weight", L, transpose=True, dtype=dtype),
     }
     if cfg.use_qk_norm:
@@ -95,11 +91,8 @@ def load_target_params(path: str | Path, cfg: ModelConfig, dtype=jnp.bfloat16) -
                 )
             layers[our] = jnp.stack(per_layer).astype(dtype)
     else:
-        layers["wgu"] = _stack_fused(
-            t,
-            [p + "layers.{i}.mlp.gate_proj.weight", p + "layers.{i}.mlp.up_proj.weight"],
-            L, dtype=dtype,
-        )
+        layers["gate"] = _stack(t, p + "layers.{i}.mlp.gate_proj.weight", L, transpose=True, dtype=dtype)
+        layers["up"] = _stack(t, p + "layers.{i}.mlp.up_proj.weight", L, transpose=True, dtype=dtype)
         layers["down"] = _stack(t, p + "layers.{i}.mlp.down_proj.weight", L, transpose=True, dtype=dtype)
 
     params = {
@@ -124,19 +117,12 @@ def load_draft_params(path: str | Path, cfg: DraftConfig, dtype=jnp.bfloat16) ->
     layers = {
         "input_ln": _stack(t, p + "layers.{i}.input_layernorm.weight", L, dtype=dtype),
         "post_ln": _stack(t, p + "layers.{i}.post_attention_layernorm.weight", L, dtype=dtype),
-        "wqkv": _stack_fused(
-            t,
-            [p + "layers.{i}.self_attn.q_proj.weight",
-             p + "layers.{i}.self_attn.k_proj.weight",
-             p + "layers.{i}.self_attn.v_proj.weight"],
-            L, dtype=dtype,
-        ),
+        "wq": _stack(t, p + "layers.{i}.self_attn.q_proj.weight", L, transpose=True, dtype=dtype),
+        "wk": _stack(t, p + "layers.{i}.self_attn.k_proj.weight", L, transpose=True, dtype=dtype),
+        "wv": _stack(t, p + "layers.{i}.self_attn.v_proj.weight", L, transpose=True, dtype=dtype),
         "wo": _stack(t, p + "layers.{i}.self_attn.o_proj.weight", L, transpose=True, dtype=dtype),
-        "wgu": _stack_fused(
-            t,
-            [p + "layers.{i}.mlp.gate_proj.weight", p + "layers.{i}.mlp.up_proj.weight"],
-            L, dtype=dtype,
-        ),
+        "gate": _stack(t, p + "layers.{i}.mlp.gate_proj.weight", L, transpose=True, dtype=dtype),
+        "up": _stack(t, p + "layers.{i}.mlp.up_proj.weight", L, transpose=True, dtype=dtype),
         "down": _stack(t, p + "layers.{i}.mlp.down_proj.weight", L, transpose=True, dtype=dtype),
     }
     if m.use_qk_norm:

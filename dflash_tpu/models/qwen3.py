@@ -65,12 +65,12 @@ def init_layer_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16) -> d
             )
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
 
-    # q/k/v are fused into one GEMM (and gate/up below): decode matmuls are
-    # skinny and latency-bound, so fewer-but-wider GEMMs per layer win.
     params = {
         "input_ln": jnp.ones((L, H), dtype),
         "post_ln": jnp.ones((L, H), dtype),
-        "wqkv": w((L, H, (nh + 2 * nkv) * d), next(keys)),
+        "wq": w((L, H, nh * d), next(keys)),
+        "wk": w((L, H, nkv * d), next(keys)),
+        "wv": w((L, H, nkv * d), next(keys)),
         "wo": w((L, nh * d, H), next(keys)),
     }
     if cfg.use_qk_norm:
@@ -83,7 +83,8 @@ def init_layer_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16) -> d
         params["up"] = w((L, E, H, Im), next(keys))
         params["down"] = w((L, E, Im, H), next(keys))
     else:
-        params["wgu"] = w((L, H, 2 * I), next(keys))
+        params["gate"] = w((L, H, I), next(keys))
+        params["up"] = w((L, H, I), next(keys))
         params["down"] = w((L, I, H), next(keys))
     return params
 
@@ -140,8 +141,8 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 
 def _dense_mlp(lp: dict, x: jax.Array) -> jax.Array:
-    gu = linear(x, lp["wgu"], out_dtype=jnp.float32)
-    g, u = jnp.split(gu, 2, axis=-1)
+    g = linear(x, lp["gate"], out_dtype=jnp.float32)
+    u = linear(x, lp["up"], out_dtype=jnp.float32)
     act = (jax.nn.silu(g) * u).astype(x.dtype)
     return linear(act, lp["down"])
 
@@ -179,10 +180,9 @@ def forward(
         p, cache_layer, slot = xs
 
         h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
-        qkv = linear(h_norm, p["wqkv"])
-        q = qkv[..., : nh * d].reshape(B, S, nh, d)
-        k = qkv[..., nh * d : (nh + nkv) * d].reshape(B, S, nkv, d)
-        v = qkv[..., (nh + nkv) * d :].reshape(B, S, nkv, d)
+        q = linear(h_norm, p["wq"]).reshape(B, S, nh, d)
+        k = linear(h_norm, p["wk"]).reshape(B, S, nkv, d)
+        v = linear(h_norm, p["wv"]).reshape(B, S, nkv, d)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -278,10 +278,9 @@ def forward_block_candidates(
             k_ctx, v_ctx = ctx_layer.k, ctx_layer.v
 
         h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
-        qkv = linear(h_norm, p["wqkv"])
-        q = qkv[..., : nh * d].reshape(C, B, nh, d)
-        k = qkv[..., nh * d : (nh + nkv) * d].reshape(C, B, nkv, d)
-        v = qkv[..., (nh + nkv) * d :].reshape(C, B, nkv, d)
+        q = linear(h_norm, p["wq"]).reshape(C, B, nh, d)
+        k = linear(h_norm, p["wk"]).reshape(C, B, nkv, d)
+        v = linear(h_norm, p["wv"]).reshape(C, B, nkv, d)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)

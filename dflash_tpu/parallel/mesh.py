@@ -38,7 +38,9 @@ def _layer_specs(cfg: ModelConfig) -> dict:
     specs = {
         "input_ln": P(),
         "post_ln": P(),
-        "wqkv": P(None, None, "tp"),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
         "wo": P(None, "tp", None),
     }
     if cfg.use_qk_norm:
@@ -53,7 +55,8 @@ def _layer_specs(cfg: ModelConfig) -> dict:
         )
     else:
         specs.update(
-            wgu=P(None, None, "tp"),
+            gate=P(None, None, "tp"),
+            up=P(None, None, "tp"),
             down=P(None, "tp", None),
         )
     return specs

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.ops.linear import QTensor, quantize_weight
 
-_MATMUL_KEYS = ("wqkv", "wo", "wgu", "down", "gate", "up")
+_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
 
 def _quantize_stacked(w: jax.Array, pad_to: int) -> QTensor:
