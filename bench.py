@@ -74,7 +74,7 @@ def main():
     jax.block_until_ready((t_params, d_params))
     log("params initialized")
 
-    quant = os.environ.get("BENCH_QUANT", "")
+    quant = os.environ.get("BENCH_QUANT", "int8" if preset != "smoke" else "")
     if quant == "int8":
         from dflash_tpu.quant import quantize_draft_params, quantize_target_params
 
@@ -108,6 +108,46 @@ def main():
         f"tau={tau:.2f}, tpot={spec.time_per_output_token*1e3:.3f} ms, "
         f"{1.0/spec.time_per_output_token:.1f} tok/s")
 
+    # --- batched serving throughput (optional, BENCH_LANES=R) --------------
+    batched_detail = {}
+    lanes = int(os.environ.get("BENCH_LANES", "4" if preset != "smoke" else "0"))
+    if lanes > 1:
+        from dflash_tpu.spec.batched import jit_batched_decode, jit_batched_prefill
+
+        rng = np.random.default_rng(1)
+        P = prompt_cap
+        input_ids = jnp.asarray(
+            rng.integers(1, tcfg.vocab_size - 2, size=(lanes, 1, P)), jnp.int32
+        )
+        prompt_lens = jnp.asarray([117] * lanes, jnp.int32)
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lanes, dtype=jnp.uint32))
+        kwargs = dict(tcfg=tcfg, dcfg=dcfg, total_len=engine.total_len,
+                      max_cycles=max_new)
+        st = jit_batched_prefill(
+            t_params, d_params, input_ids, prompt_lens, jnp.float32(0), keys, **kwargs
+        )
+        fa = jnp.asarray(np.broadcast_to(forced, (lanes, max_new)))
+        dec = lambda st: jit_batched_decode(
+            t_params, d_params, st, prompt_lens + max_new, jnp.float32(0),
+            tcfg=tcfg, dcfg=dcfg, block_size=block_size, stop_token_ids=(),
+            max_cycles=max_new, forced_acc=fa,
+        )
+        warm = dec(st)
+        np.asarray(warm.start)  # force execution
+        log(f"batched warm done (lanes={lanes})")
+        t2 = time.perf_counter()
+        out = dec(st)
+        total_tokens = int(np.asarray(out.start - prompt_lens).sum())
+        batched_wall = time.perf_counter() - t2
+        batched_tps = total_tokens / batched_wall
+        log(f"batched steady: {lanes} lanes, {total_tokens} tok in {batched_wall:.2f}s "
+            f"-> {batched_tps:.1f} tok/s/chip")
+        batched_detail = {
+            "batched_lanes": lanes,
+            "batched_tokens_per_sec_per_chip": round(batched_tps, 2),
+            "batched_speedup_vs_single": round(batched_tps * spec.time_per_output_token, 3),
+        }
+
     speedup = ar.time_per_output_token / spec.time_per_output_token
     result = {
         "metric": f"decoding_speedup_vs_ar ({preset}-shape, B={block_size}, tau={tau:.2f} emulated)",
@@ -123,6 +163,7 @@ def main():
             "ref_ar_tpot_ms": 43.140,
             "ref_spec_tpot_ms": 7.273,
             "device": str(jax.devices()[0]),
+            **batched_detail,
         },
     }
     print(json.dumps(result), flush=True)

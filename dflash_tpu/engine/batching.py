@@ -43,6 +43,7 @@ class EngineConfig:
     stop_token_ids: Tuple[int, ...] = ()
     temperature: float = 0.0
     seed: int = 0
+    kv_quant: bool = False  # int8 KV cache for the target
 
 
 @dataclass
@@ -112,13 +113,18 @@ class ContinuousBatchingEngine:
     # -- state management ---------------------------------------------------
 
     def _empty_state(self, R: int) -> LoopState:
-        from dflash_tpu.cache.kv import init_kv_cache
+        from dflash_tpu.cache.kv import init_kv_cache, init_quant_kv_cache
 
         dtype = jax.tree.leaves(self.t_params)[0].dtype
         if dtype not in (jnp.bfloat16, jnp.float32):
             dtype = jnp.bfloat16
         T = self.total_len
         mk = lambda *shape, d=jnp.int32: jnp.zeros((R,) + shape, d)
+        t_kv0 = (
+            init_quant_kv_cache(self.tcfg, 1, T)
+            if self.cfg.kv_quant
+            else init_kv_cache(self.tcfg, 1, T, dtype)
+        )
         return LoopState(
             output_ids=jnp.full((R, 1, T), self.dcfg.mask_token_id, jnp.int32),
             start=jnp.zeros((R,), jnp.int32),
@@ -127,8 +133,7 @@ class ContinuousBatchingEngine:
             acc_trace=mk(self.max_cycles),
             key=jnp.stack([jax.random.PRNGKey(self.cfg.seed)] * R),
             t_kv=jax.tree.map(
-                lambda x: jnp.zeros((R,) + x.shape, x.dtype),
-                init_kv_cache(self.tcfg, 1, T, dtype),
+                lambda x: jnp.zeros((R,) + x.shape, x.dtype), t_kv0
             ),
             d_kv=jax.tree.map(
                 lambda x: jnp.zeros((R,) + x.shape, x.dtype),
@@ -204,7 +209,7 @@ class ContinuousBatchingEngine:
             jnp.float32(req.temperature),
             jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid),
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
-            max_cycles=self.max_cycles,
+            max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
         )
         self._state = _admit(self._state, jnp.int32(lane), single)
         self._lane_req[lane] = req

@@ -130,6 +130,7 @@ def main(argv=None) -> None:
     p.add_argument("--block-size", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--quant", default="", choices=["", "int8"])
+    p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
     args = p.parse_args(argv)
 
     from dflash_tpu.bench.cli import _resolve_models
@@ -155,6 +156,7 @@ def main(argv=None) -> None:
             block_size=args.block_size or dcfg.block_size,
             prompt_cap=args.prompt_cap,
             stop_token_ids=(tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None else (),
+            kv_quant=args.kv_quant,
         ),
     )
     server = EngineHTTPServer(engine, args.host, args.port, tokenizer)

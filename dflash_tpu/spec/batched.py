@@ -59,17 +59,19 @@ def batched_decode(
     block_size: int,
     stop_token_ids: Tuple[int, ...],
     max_cycles: int,
+    forced_acc=None,  # optional [R, max_cycles] per-lane acceptance override
 ) -> LoopState:
-    f = partial(
-        _decode_impl,
-        tcfg=tcfg,
-        dcfg=dcfg,
-        block_size=block_size,
-        stop_token_ids=stop_token_ids,
-        max_cycles=max_cycles,
-    )
-    return jax.vmap(f, in_axes=(None, None, 0, 0, None))(
-        t_params, d_params, state, max_lengths, temperature
+    def f(tp, dp, st, ml, t, fa):
+        return _decode_impl(
+            tp, dp, st, ml, t,
+            tcfg=tcfg, dcfg=dcfg, block_size=block_size,
+            stop_token_ids=stop_token_ids, max_cycles=max_cycles,
+            forced_acc=fa,
+        )
+
+    fa_axis = None if forced_acc is None else 0
+    return jax.vmap(f, in_axes=(None, None, 0, 0, None, fa_axis))(
+        t_params, d_params, state, max_lengths, temperature, forced_acc
     )
 
 
