@@ -2,17 +2,17 @@
 
 The XLA-path attention (ops/attention.py) attends over the whole preallocated
 cache buffer with masking — it reads all T rows every cycle even when only
-``start + B`` are valid.  This Pallas kernel streams K/V chunks from HBM with
-manual double-buffered DMA and STOPS at the frontier, so per-cycle attention
-traffic is O(start + B) instead of O(T) — the difference at long context
-(T = 16k with start = 2k reads 8x less).
+``start + B`` are valid.  This Pallas kernel streams contiguous [CK, n_kv, d]
+K/V chunks from HBM with double-buffered DMA and STOPS at the frontier, so
+per-cycle attention traffic is O(start + B) instead of O(T) — the difference
+at long context (T = 16k with start = 2k reads 8x less).
 
-Grid: one program per kv head.  Queries are the whole block for that head's
-group (g * B rows, B <= 32, g <= 8 — they fit VMEM easily); keys stream in
-CK-row chunks with an online (flash) softmax in fp32.
+One program processes every kv head (batched MXU dots over the head axis);
+queries for the whole block (g*B rows per head) stay resident in VMEM with a
+running (flash) fp32 softmax.
 
 Semantics match ``gqa_attention`` with the verify mask (key_pos <= q_pos):
-the numerics test pins the two together.
+the numerics tests pin the two together (interpret mode + TPU).
 """
 
 from __future__ import annotations
@@ -28,36 +28,35 @@ _NEG = -1e30
 
 
 def _kernel(
-    start_ref,  # SMEM [1] int32 — frontier (valid ctx rows < start + B written)
+    start_ref,  # SMEM [1] int32 — frontier
     q_ref,  # VMEM [n_kv, g*B, d]
     k_hbm,  # ANY  [T, n_kv, d]
     v_hbm,  # ANY  [T, n_kv, d]
     o_ref,  # VMEM [n_kv, g*B, d] f32
-    k_buf,  # VMEM scratch [2, CK, d]
-    v_buf,  # VMEM scratch [2, CK, d]
-    acc_ref,  # VMEM scratch [g*B, d] f32
-    m_ref,  # VMEM scratch [g*B, 128] f32 (row max, broadcast on lanes)
-    l_ref,  # VMEM scratch [g*B, 128] f32 (row sum)
+    k_buf,  # VMEM scratch [2, CK, n_kv, d]
+    v_buf,  # VMEM scratch [2, CK, n_kv, d]
+    acc_ref,  # VMEM scratch [n_kv, g*B, d] f32
+    m_ref,  # VMEM scratch [n_kv, g*B, 128] f32
+    l_ref,  # VMEM scratch [n_kv, g*B, 128] f32
     sems,  # DMA semaphores [2, 2]
     *,
     B: int,
     CK: int,
     scale: float,
 ):
-    h = pl.program_id(0)
     start = start_ref[0]
     limit = start + B  # rows [0, limit) are valid keys
     n_chunks = (limit + CK - 1) // CK
-    GB = q_ref.shape[1]
+    n_kv, GB, d = q_ref.shape
 
     def k_dma(slot, c):
         return pltpu.make_async_copy(
-            k_hbm.at[pl.ds(c * CK, CK), h, :], k_buf.at[slot], sems.at[slot, 0]
+            k_hbm.at[pl.ds(c * CK, CK)], k_buf.at[slot], sems.at[slot, 0]
         )
 
     def v_dma(slot, c):
         return pltpu.make_async_copy(
-            v_hbm.at[pl.ds(c * CK, CK), h, :], v_buf.at[slot], sems.at[slot, 1]
+            v_hbm.at[pl.ds(c * CK, CK)], v_buf.at[slot], sems.at[slot, 1]
         )
 
     k_dma(0, 0).start()
@@ -67,10 +66,10 @@ def _kernel(
     m_ref[:] = jnp.full_like(m_ref, _NEG)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[h].astype(jnp.float32)  # [GB, d]
-    # q row r corresponds to block offset r % B -> absolute pos start + r % B.
-    row_block = jax.lax.broadcasted_iota(jnp.int32, (GB, CK), 0) % B
-    q_pos = start + row_block  # [GB, CK] (broadcast over key dim)
+    q = q_ref[:].astype(jnp.float32)  # [n_kv, GB, d]
+    # q row r of any head corresponds to block offset r % B -> pos start + r%B.
+    row_block = jax.lax.broadcasted_iota(jnp.int32, (n_kv, GB, CK), 1) % B
+    q_pos = start + row_block
 
     def body(c, _):
         slot = c % 2
@@ -83,30 +82,59 @@ def _kernel(
         k_dma(slot, c).wait()
         v_dma(slot, c).wait()
 
-        k = k_buf[slot].astype(jnp.float32)  # [CK, d]
-        v = v_buf[slot].astype(jnp.float32)
+        # Transpose chunks to head-major [n_kv, CK, d] in VMEM: Mosaic wants
+        # matching leading batch dims on both matmul operands.
+        k = jnp.moveaxis(k_buf[slot], 0, 1).astype(jnp.float32)  # [n_kv, CK, d]
+        v = jnp.moveaxis(v_buf[slot], 0, 1).astype(jnp.float32)
+        # [n_kv, GB, CK] — contract d, batch over the kv-head axis.
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [GB, CK]
-        key_pos = c * CK + jax.lax.broadcasted_iota(jnp.int32, (GB, CK), 1)
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        key_pos = c * CK + jax.lax.broadcasted_iota(jnp.int32, (n_kv, GB, CK), 2)
         s = jnp.where(key_pos <= q_pos, s, _NEG)
 
-        m_prev = m_ref[:, :1]  # [GB, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_ref[:, :, :1]  # [n_kv, GB, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [GB, CK]
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
-    o_ref[h] = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+    o_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:, :, :1], 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "ck"))
+def _call_kernel(q_heads, k_cache, v_cache, start, *, B, CK, scale, interpret=False):
+    n_kv, GB, d = q_heads.shape
+    return pl.pallas_call(
+        functools.partial(_kernel, B=B, CK=CK, scale=scale),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_kv, GB, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, CK, n_kv, d), k_cache.dtype),
+            pltpu.VMEM((2, CK, n_kv, d), v_cache.dtype),
+            pltpu.VMEM((n_kv, GB, d), jnp.float32),
+            pltpu.VMEM((n_kv, GB, 128), jnp.float32),
+            pltpu.VMEM((n_kv, GB, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(start[None].astype(jnp.int32) if start.ndim == 0 else start, q_heads, k_cache, v_cache)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "ck", "interpret"))
 def verify_attention(
     q: jax.Array,  # [1, B, nh, d]
     k_cache: jax.Array,  # [1, T, n_kv, d]
@@ -114,6 +142,7 @@ def verify_attention(
     start: jax.Array,  # [] int32 frontier
     block: int,
     ck: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns [1, B, nh*d] — bounded-read causal verify attention."""
     _, B, nh, d = q.shape
@@ -127,28 +156,10 @@ def verify_attention(
     qh = q[0].reshape(B, n_kv, g, d)
     qh = jnp.transpose(qh, (1, 2, 0, 3)).reshape(n_kv, g * B, d)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, B=B, CK=ck, scale=scale),
-        grid=(n_kv,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_kv, g * B, d), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, ck, d), k_cache.dtype),
-            pltpu.VMEM((2, ck, d), v_cache.dtype),
-            pltpu.VMEM((g * B, d), jnp.float32),
-            pltpu.VMEM((g * B, 128), jnp.float32),
-            pltpu.VMEM((g * B, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(start[None].astype(jnp.int32), qh, k_cache[0], v_cache[0])
-
+    out = _call_kernel(
+        qh, k_cache[0], v_cache[0], start, B=block, CK=ck, scale=scale,
+        interpret=interpret,
+    )
     # [n_kv, g*B, d] -> [1, B, nh*d]
     out = out.reshape(n_kv, g, B, d)
     out = jnp.transpose(out, (2, 0, 1, 3)).reshape(1, B, nh * d)

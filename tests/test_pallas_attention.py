@@ -9,41 +9,15 @@ import pytest
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dflash_tpu.kernels.attention import _kernel
+from dflash_tpu.kernels.attention import verify_attention
 from dflash_tpu.models.qwen3 import causal_mask
 from dflash_tpu.ops.attention import gqa_attention
 
 
 def _run_interpret(q, k_cache, v_cache, start, block, ck):
-    _, B, nh, d = q.shape
-    n_kv = k_cache.shape[2]
-    g = nh // n_kv
-    scale = d ** -0.5
-    qh = q[0].reshape(B, n_kv, g, d)
-    qh = jnp.transpose(qh, (1, 2, 0, 3)).reshape(n_kv, g * B, d)
-    out = pl.pallas_call(
-        functools.partial(_kernel, B=B, CK=ck, scale=scale),
-        grid=(n_kv,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_kv, g * B, d), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, ck, d), k_cache.dtype),
-            pltpu.VMEM((2, ck, d), v_cache.dtype),
-            pltpu.VMEM((g * B, d), jnp.float32),
-            pltpu.VMEM((g * B, 128), jnp.float32),
-            pltpu.VMEM((g * B, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        interpret=True,
-    )(jnp.asarray([start], jnp.int32), qh, k_cache[0], v_cache[0])
-    out = out.reshape(n_kv, g, B, d)
-    return jnp.transpose(out, (2, 0, 1, 3)).reshape(1, B, nh * d)
+    return verify_attention(
+        q, k_cache, v_cache, jnp.int32(start), block=block, ck=ck, interpret=True
+    )
 
 
 @pytest.mark.parametrize("start", [0, 3, 100, 112])
