@@ -52,7 +52,9 @@ def make_forced_acc(n_cycles: int, block_size: int, tau_target: float, seed: int
 
 def main():
     preset = os.environ.get("BENCH_PRESET", "qwen3-4b")
-    from dflash_tpu.core.config import QWEN3_4B, dflash_draft_config, tiny_target_config, tiny_draft_config
+    from dflash_tpu.core.config import (
+        QWEN3_4B, QWEN3_8B, dflash_draft_config, tiny_target_config, tiny_draft_config,
+    )
     from dflash_tpu.models import dflash_draft, qwen3
     from dflash_tpu.spec import SpecEngine
 
@@ -60,6 +62,12 @@ def main():
         tcfg = tiny_target_config(num_key_value_heads=2)
         dcfg = tiny_draft_config(tcfg, block_size=16, num_layers=1)
         max_new, prompt_cap = 128, 128
+    elif preset == "qwen3-8b":
+        # North-star config: Qwen3-8B on one v5e chip (int8-only; the bf16
+        # form would not fit 16GB HBM).
+        tcfg = QWEN3_8B
+        dcfg = dflash_draft_config(QWEN3_8B, num_draft_layers=1, block_size=16)
+        max_new, prompt_cap = 512, 128
     else:
         tcfg = QWEN3_4B
         dcfg = dflash_draft_config(QWEN3_4B, num_draft_layers=1, block_size=16)
@@ -69,19 +77,31 @@ def main():
     log(f"preset={preset} target L={tcfg.num_hidden_layers} H={tcfg.hidden_size} "
         f"draft L={dcfg.model.num_hidden_layers} B={block_size} devices={jax.devices()}")
 
-    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.bfloat16)
-    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.bfloat16)
-    jax.block_until_ready((t_params, d_params))
-    log("params initialized")
-
     quant = os.environ.get("BENCH_QUANT", "int8" if preset != "smoke" else "")
-    if quant == "int8":
-        from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+    if preset == "qwen3-8b":
+        # Generate directly in int8 — the bf16 intermediate would OOM.
+        from dflash_tpu.quant import quantize_draft_params
+        from dflash_tpu.quant.quantize import init_params_quantized
 
-        t_params = quantize_target_params(t_params, tcfg)
-        d_params = quantize_draft_params(d_params, dcfg)
+        quant = "int8"
+        t_params = init_params_quantized(jax.random.PRNGKey(0), tcfg)
+        d_params = quantize_draft_params(
+            dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.bfloat16), dcfg
+        )
         jax.block_until_ready((t_params, d_params))
-        log("params quantized to int8 (weight-only)")
+        log("params initialized directly as int8")
+    else:
+        t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.bfloat16)
+        d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.bfloat16)
+        jax.block_until_ready((t_params, d_params))
+        log("params initialized")
+        if quant == "int8":
+            from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+
+            t_params = quantize_target_params(t_params, tcfg)
+            d_params = quantize_draft_params(d_params, dcfg)
+            jax.block_until_ready((t_params, d_params))
+            log("params quantized to int8 (weight-only)")
 
     engine = SpecEngine(
         tcfg, dcfg, t_params, d_params,

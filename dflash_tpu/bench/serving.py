@@ -1,0 +1,199 @@
+"""Serving benchmark: concurrency sweep against the HTTP engine.
+
+TPU-native equivalent of reference benchmark_sglang.py: launches the engine
+server (in-process or against a running URL), sweeps client concurrency
+(default 1/4/8/16/32, reference :379-380), drives `/generate` with a
+ThreadPool (reference :180-201), collects ``meta_info`` acceptance stats,
+sanity-checks that speculation actually ran (``spec_verify_ct_sum > 0``,
+reference :206-210), and emits a markdown report (reference :489-564).
+
+Run ``python -m dflash_tpu.bench.serving --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class BenchMetrics:
+    concurrency: int
+    n_requests: int
+    wall_s: float
+    completion_tokens: int
+    spec_verify_ct_sum: int
+    accept_lengths: List[float] = field(default_factory=list)
+
+    @property
+    def tokens_per_sec(self) -> float:
+        return self.completion_tokens / max(self.wall_s, 1e-9)
+
+    @property
+    def mean_accept_length(self) -> float:
+        xs = [a for a in self.accept_lengths if a > 0]
+        return sum(xs) / len(xs) if xs else 0.0
+
+
+def _post(url: str, payload: dict, timeout: float = 600.0) -> dict:
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _flush(url: str) -> None:
+    req = urllib.request.Request(url + "/flush_cache", data=b"{}", method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30).read()
+    except Exception:
+        pass
+
+
+def run_bench_requests(
+    url: str,
+    prompts: List[List[int]],
+    concurrency: int,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+) -> BenchMetrics:
+    def one(ids):
+        return _post(url, {
+            "input_ids": ids,
+            "sampling_params": {
+                "max_new_tokens": max_new_tokens,
+                "temperature": temperature,
+            },
+        })
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        results = list(pool.map(one, prompts))
+    wall = time.perf_counter() - t0
+
+    m = BenchMetrics(
+        concurrency=concurrency, n_requests=len(prompts), wall_s=wall,
+        completion_tokens=sum(r["meta_info"]["completion_tokens"] for r in results),
+        spec_verify_ct_sum=sum(r["meta_info"]["spec_verify_ct"] for r in results),
+        accept_lengths=[r["meta_info"]["spec_accept_length"] for r in results],
+    )
+    return m
+
+
+def markdown_report(rows: List[BenchMetrics], title: str) -> str:
+    lines = [
+        f"## {title}",
+        "",
+        "| concurrency | requests | wall (s) | tokens/s | mean accept len | verify ct |",
+        "|---|---|---|---|---|---|",
+    ]
+    for m in rows:
+        lines.append(
+            f"| {m.concurrency} | {m.n_requests} | {m.wall_s:.2f} | "
+            f"{m.tokens_per_sec:.1f} | {m.mean_accept_length:.2f} | {m.spec_verify_ct_sum} |"
+        )
+    return "\n".join(lines)
+
+
+
+def _honor_jax_platforms_env() -> None:
+    """Re-assert JAX_PLATFORMS even when a sitecustomize-registered PJRT
+    plugin already overrode jax.config programmatically."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass
+
+
+def main(argv=None) -> None:
+    _honor_jax_platforms_env()
+    p = argparse.ArgumentParser(description="Serving concurrency benchmark")
+    p.add_argument("--url", default=None,
+                   help="Benchmark a running server; default launches in-process.")
+    p.add_argument("--model-name-or-path", default="tiny")
+    p.add_argument("--draft-name-or-path", default="auto:1")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--num-lanes", type=int, default=8)
+    p.add_argument("--concurrencies", default="1,4,8")
+    p.add_argument("--num-requests", type=int, default=16)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--prompt-cap", type=int, default=128)
+    p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--report-path", default=None)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    server = None
+    url = args.url
+    if url is None:
+        from dflash_tpu.bench.cli import _resolve_models
+        from dflash_tpu.bench.tokenizer import SyntheticTokenizer
+        from dflash_tpu.engine import ContinuousBatchingEngine, EngineConfig
+        from dflash_tpu.engine.server import EngineHTTPServer
+
+        tcfg, dcfg, t_params, d_params = _resolve_models(args)
+        engine = ContinuousBatchingEngine(
+            tcfg, dcfg, t_params, d_params,
+            EngineConfig(
+                num_lanes=args.num_lanes,
+                max_new_tokens=args.max_new_tokens,
+                block_size=args.block_size or dcfg.block_size,
+                prompt_cap=args.prompt_cap,
+            ),
+        )
+        server = EngineHTTPServer(
+            engine, port=0, tokenizer=SyntheticTokenizer(tcfg.vocab_size)
+        )
+        server.start()
+        url = f"http://{server.host}:{server.port}"
+        vocab = tcfg.vocab_size
+    else:
+        vocab = 1000
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(10, vocab - 10, size=(args.prompt_len,)).tolist()
+        for _ in range(args.num_requests)
+    ]
+
+    rows = []
+    try:
+        # warmup (compiles the lane executables)
+        run_bench_requests(url, prompts[:2], 2, args.max_new_tokens)
+        for conc in (int(c) for c in args.concurrencies.split(",")):
+            _flush(url)
+            m = run_bench_requests(url, prompts, conc, args.max_new_tokens)
+            if m.spec_verify_ct_sum <= 0:
+                raise RuntimeError("speculative decoding did not run (verify_ct == 0)")
+            print(f"[serving] conc={conc}: {m.tokens_per_sec:.1f} tok/s, "
+                  f"accept_len={m.mean_accept_length:.2f}", file=sys.stderr, flush=True)
+            rows.append(m)
+    finally:
+        if server is not None:
+            server.stop()
+
+    report = markdown_report(rows, f"dflash_tpu serving ({args.model_name_or_path})")
+    print(report)
+    if args.report_path:
+        with open(args.report_path, "w") as f:
+            f.write(report + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,16 @@ class EngineHTTPServer:
 def main(argv=None) -> None:
     """python -m dflash_tpu.engine.server --model-name-or-path tiny ..."""
     import argparse
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass
 
     p = argparse.ArgumentParser()
     p.add_argument("--model-name-or-path", default="tiny")

@@ -65,6 +65,54 @@ def quantize_target_params(params: dict, cfg: ModelConfig, pad_to: int = 512) ->
     return params
 
 
+def init_params_quantized(key: jax.Array, cfg: ModelConfig, pad_to: int = 512) -> dict:
+    """Random params generated DIRECTLY in int8 (for perf benchmarks of
+    models whose bf16 form would not fit on-chip, e.g. Qwen3-8B on a 16GB
+    v5e).  Statistically matches quantize(init_params(...)) without ever
+    materializing the bf16 weights."""
+    from dflash_tpu.models import qwen3
+
+    def q(shape, k):
+        K, N = shape[-2], shape[-1]
+        Np = ((N + pad_to - 1) // pad_to) * pad_to if pad_to > 1 else N
+
+        def one(kk):
+            vals = jax.random.randint(kk, shape[-2:-1] + (Np,), -127, 128, jnp.int8)
+            scale = jnp.full((1, Np), 0.02 * 2.5 / 127.0, jnp.float32)
+            return QTensor(vals, scale, N)
+
+        if len(shape) == 3:
+            return jax.vmap(one)(jax.random.split(k, shape[0]))
+        return one(k)
+
+    L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = iter(jax.random.split(key, 16))
+    layers = {
+        "input_ln": jnp.ones((L, H), jnp.bfloat16),
+        "post_ln": jnp.ones((L, H), jnp.bfloat16),
+        "wq": q((L, H, nh * d), next(keys)),
+        "wk": q((L, H, nkv * d), next(keys)),
+        "wv": q((L, H, nkv * d), next(keys)),
+        "wo": q((L, nh * d, H), next(keys)),
+        "gate": q((L, H, I), next(keys)),
+        "up": q((L, H, I), next(keys)),
+        "down": q((L, I, H), next(keys)),
+    }
+    if cfg.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, d), jnp.bfloat16)
+        layers["k_norm"] = jnp.ones((L, d), jnp.bfloat16)
+    embed = (
+        jax.random.normal(next(keys), (cfg.vocab_size, H), jnp.float32) * 0.02
+    ).astype(jnp.bfloat16)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": q((H, cfg.vocab_size), next(keys)),
+    }
+
+
 def quantize_draft_params(params: dict, cfg: DraftConfig, pad_to: int = 512) -> dict:
     """Quantize a draft param pytree (consumes the input, see above)."""
     params["layers"] = _quantize_layers(params["layers"], cfg.model, pad_to)
