@@ -115,6 +115,29 @@ def update_layer_quant(
     )
 
 
+def write_prompt_rows(kv, k_rows: jax.Array, v_rows: jax.Array):
+    """Write prefill-produced K/V rows [L, B, S, n_kv, d] at position 0.
+
+    Used by the cache-free prefill path (models/qwen3.py forward_prefill):
+    prefill attends only the prompt's own rows, then commits them here in one
+    dynamic_update_slice per tensor (quantizing on the way in for the int8
+    cache)."""
+    zeros5 = (0, 0, 0, 0, 0)
+    if isinstance(kv, QuantKVCache):
+        kq, ks = quantize_rows(k_rows)
+        vq, vs = quantize_rows(v_rows)
+        return QuantKVCache(
+            k=jax.lax.dynamic_update_slice(kv.k, kq, zeros5),
+            k_scale=jax.lax.dynamic_update_slice(kv.k_scale, ks, (0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(kv.v, vq, zeros5),
+            v_scale=jax.lax.dynamic_update_slice(kv.v_scale, vs, (0, 0, 0, 0)),
+        )
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(kv.k, k_rows.astype(kv.k.dtype), zeros5),
+        v=jax.lax.dynamic_update_slice(kv.v, v_rows.astype(kv.v.dtype), zeros5),
+    )
+
+
 def update_any(cache_layer, k_new: jax.Array, v_new: jax.Array, write_pos: jax.Array):
     """Write new K/V rows into a per-layer cache slice of either cache type."""
     if isinstance(cache_layer, QuantKVCache):

@@ -56,6 +56,7 @@ class Request:
     # filled on completion:
     output_ids: Optional[np.ndarray] = None
     meta_info: Optional[dict] = None
+    error: Optional[str] = None  # per-request failure, surfaced not fatal
     done_event: threading.Event = field(default_factory=threading.Event)
 
 
@@ -193,7 +194,17 @@ class ContinuousBatchingEngine:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            self._admit_request(lane, req)
+            # A bad request (e.g. malformed ids tripping a device error during
+            # its prefill) must not kill the other lanes: surface the failure
+            # on the request itself and keep serving (SURVEY §5 failure row —
+            # the reference only has sweep-level CONTINUE_ON_ERROR).
+            try:
+                self._admit_request(lane, req)
+            except Exception as e:  # noqa: BLE001 — isolate per-request faults
+                req.error = f"{type(e).__name__}: {e}"
+                req.meta_info = {"error": req.error}
+                self.completed[req.rid] = req
+                req.done_event.set()
 
     def _admit_request(self, lane: int, req: Request) -> None:
         P = len(req.input_ids)

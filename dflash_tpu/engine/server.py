@@ -94,6 +94,10 @@ class EngineHTTPServer:
         )
         if not req.done_event.wait(timeout=600):
             raise ValueError("generation timed out")
+        if req.error is not None:
+            # per-request failure: surfaced in the response, engine keeps
+            # serving the other lanes
+            return {"error": req.error, "meta_info": req.meta_info}
         out = req.output_ids[0, req.meta_info["prompt_tokens"]:]
         result = {
             "output_ids": out.tolist(),

@@ -213,6 +213,90 @@ def forward(
     return ForwardResult(hidden=hidden, taps=taps_concat, kv=new_kv)
 
 
+class PrefillResult(NamedTuple):
+    hidden: jax.Array  # [B, S, H] — final-norm'd hidden states
+    taps: jax.Array  # [B, S, n_taps * H]
+    k: jax.Array  # [L, B, S, n_kv, d] — prompt K rows (pre-cache)
+    v: jax.Array  # [L, B, S, n_kv, d]
+
+
+def forward_prefill(
+    params: dict,
+    cfg: ModelConfig,
+    embeds: jax.Array,  # [B, S, H]
+    positions: jax.Array,  # [B, S] int32
+    tap_ids: Tuple[int, ...] = (),
+    mesh=None,
+    seq_axis: Optional[str] = None,
+) -> PrefillResult:
+    """Cache-free causal prefill over S prompt tokens.
+
+    Unlike ``forward`` (which attends the whole preallocated cache buffer
+    under a mask — O(S*T) score work), prefill needs no cache reads at all:
+    attention is O(S^2) over the prompt only, and the produced K/V rows are
+    returned for the caller to write into the cache at position 0.
+
+    With ``mesh``/``seq_axis``, attention runs sequence-sharded via ring
+    ppermute over ICI (``parallel.ring``) — the long-context prefill path
+    (the reference has none; SURVEY §5 long-context row).
+    """
+    B, S, H = embeds.shape
+    nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    scale = d ** -0.5
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta, cfg.rope_scaling)
+    causal = (
+        positions[0][:, None] >= positions[0][None, :]
+    )  # [S, S] — padded rows (pos >= prompt_len) are never attended by real rows
+
+    lp = params["layers"]
+    L = cfg.num_hidden_layers
+    n_taps = len(tap_ids)
+    slot_of = {l: i for i, l in enumerate(tap_ids)}
+    tap_slots = jnp.asarray([slot_of.get(l, -1) for l in range(L)], jnp.int32)
+    taps0 = jnp.zeros((max(n_taps, 1), B, S, H), embeds.dtype)
+
+    def layer_step(carry, xs):
+        hidden, taps = carry
+        p, slot = xs
+
+        h_norm = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
+        q = linear(h_norm, p["wq"]).reshape(B, S, nh, d)
+        k = linear(h_norm, p["wk"]).reshape(B, S, nkv, d)
+        v = linear(h_norm, p["wv"]).reshape(B, S, nkv, d)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if seq_axis is not None:
+            from dflash_tpu.parallel.ring import ring_prefill_attention
+
+            attn = ring_prefill_attention(q, k, v, scale, mesh, seq_axis)
+        else:
+            attn = gqa_attention(q, k, v, causal, scale)
+        attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
+        hidden = hidden + attn
+
+        h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
+        mlp_out = _moe_mlp(p, cfg, h_norm2) if cfg.is_moe else _dense_mlp(p, h_norm2)
+        hidden = hidden + mlp_out
+
+        if n_taps > 0:
+            updated = jax.lax.dynamic_update_index_in_dim(
+                taps, hidden, jnp.maximum(slot, 0), 0
+            )
+            taps = jnp.where(slot >= 0, updated, taps)
+        return (hidden, taps), (k, v)
+
+    (hidden, taps), (k_rows, v_rows) = jax.lax.scan(
+        layer_step, (embeds, taps0), (lp, tap_slots)
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    taps_concat = jnp.moveaxis(taps, 0, -2).reshape(B, S, max(n_taps, 1) * H)
+    return PrefillResult(hidden=hidden, taps=taps_concat, k=k_rows, v=v_rows)
+
+
 class CandidateForwardResult(NamedTuple):
     hidden: jax.Array  # [C, B, H]
     taps: jax.Array  # [C, B, n_taps * H]

@@ -1,18 +1,23 @@
 """Device mesh + sharding rules (the reference's 83-line NCCL shim,
 distributed.py, replaced by a first-class GSPMD layer).
 
-Axes:
+Axes (any may be size 1; the mesh always carries all four so PartitionSpecs
+are uniform):
   - ``dp``  — data parallel over concurrent requests (replaces the
     reference's torchrun rank-striding of prompts, benchmark.py:445).
+  - ``sp``  — sequence parallel for long-context *prefill* (ring attention
+    over ICI, parallel/ring.py).  Decode blocks are tiny, so sp is scoped to
+    prefill; params are replicated over sp.
+  - ``ep``  — expert parallel: MoE expert tables (Qwen3-Coder-30B-A3B) are
+    sharded over (ep, tp); attention/dense params are replicated over ep.
   - ``tp``  — tensor parallel, Megatron-style: attention heads and MLP
     intermediate column/row-sharded; KV cache sharded on the kv-head axis.
     The reference gets TP only via SGLang (benchmark_sglang.py:271-276).
-  - MoE experts are sharded on ``tp`` as well (expert-parallel verify for
-    Qwen3-Coder-30B-A3B); a dedicated ``ep`` axis can be layered later.
 
 All collectives (all-gather after column-sharded matmuls, reduce-scatter/
-all-reduce after row-sharded ones, all-to-all for experts) are emitted by
-XLA/GSPMD from these shardings — no hand-written NCCL-style calls.
+all-reduce after row-sharded ones, all-to-all for experts, ppermute for the
+sp ring) are emitted by XLA/GSPMD from these shardings — no hand-written
+NCCL-style calls.
 """
 
 from __future__ import annotations
@@ -25,13 +30,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 
+AXES = ("dp", "sp", "ep", "tp")
 
-def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[list] = None) -> Mesh:
+
+def make_mesh(
+    dp: int = 1,
+    tp: int = 1,
+    sp: int = 1,
+    ep: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    if dp * tp > len(devices):
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
-    dev_array = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(dev_array, ("dp", "tp"))
+    n = dp * sp * ep * tp
+    if n > len(devices):
+        raise ValueError(f"mesh dp{dp}xsp{sp}xep{ep}xtp{tp} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(dp, sp, ep, tp)
+    return Mesh(dev_array, AXES)
 
 
 def _layer_specs(cfg: ModelConfig) -> dict:
@@ -49,9 +63,9 @@ def _layer_specs(cfg: ModelConfig) -> dict:
     if cfg.is_moe:
         specs.update(
             router=P(),
-            gate=P(None, "tp", None, None),  # experts sharded across tp
-            up=P(None, "tp", None, None),
-            down=P(None, "tp", None, None),
+            gate=P(None, ("ep", "tp"), None, None),  # experts over ep x tp
+            up=P(None, ("ep", "tp"), None, None),
+            down=P(None, ("ep", "tp"), None, None),
         )
     else:
         specs.update(

@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dflash_tpu.cache.kv import KVCache, init_kv_cache, init_quant_kv_cache
+from dflash_tpu.cache.kv import (
+    KVCache,
+    init_kv_cache,
+    init_quant_kv_cache,
+    write_prompt_rows,
+)
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
 from dflash_tpu.ops.sampling import acceptance_length, sample
@@ -67,6 +72,78 @@ class GenerationResult(NamedTuple):
 # jitted stages
 # ---------------------------------------------------------------------------
 
+def _prefill_target(
+    t_params,
+    input_ids: jax.Array,  # [1, P]
+    prompt_len: jax.Array,  # [] int32
+    *,
+    tcfg: ModelConfig,
+    tap_ids: Tuple[int, ...],
+    total_len: int,
+    kv_quant: bool,
+    chunk: Optional[int] = None,
+    mesh=None,
+    seq_axis: Optional[str] = None,
+):
+    """Shared target-side prefill: returns (t_kv, taps [1,P,F], last_hidden).
+
+    Three strategies, all numerically equivalent:
+      * one cache-free O(P^2) forward (default; models/qwen3.forward_prefill),
+      * ring-attention sequence-sharded over ``seq_axis`` (long prompts,
+        multi-chip — parallel/ring.py),
+      * ``chunk``-token chunked prefill through the incremental-cache forward
+        (long prompts on one chip: peak activation memory O(chunk * P)).
+    """
+    P = input_ids.shape[1]
+    dtype = t_params["embed"].dtype
+    if kv_quant:
+        t_kv = init_quant_kv_cache(tcfg, 1, total_len)
+    else:
+        t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
+    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    embeds = qwen3.embed(t_params, input_ids)
+
+    if chunk is None:
+        res = qwen3.forward_prefill(
+            t_params, tcfg, embeds, positions, tap_ids=tap_ids,
+            mesh=mesh, seq_axis=seq_axis,
+        )
+        t_kv = write_prompt_rows(t_kv, res.k, res.v)
+        last_hidden = jax.lax.dynamic_slice_in_dim(res.hidden, prompt_len - 1, 1, axis=1)
+        return t_kv, res.taps, last_hidden
+
+    if P % chunk != 0:
+        raise ValueError(f"prompt pad {P} not divisible by prefill chunk {chunk}")
+    C = chunk
+    H = tcfg.hidden_size
+    n_taps = max(len(tap_ids), 1)
+    taps_buf = jnp.zeros((1, P, n_taps * H), dtype)
+    last_hidden0 = jnp.zeros((1, 1, H), dtype)
+
+    def body(c, carry):
+        t_kv, taps_buf, last_hidden = carry
+        c0 = c * C
+        emb_c = jax.lax.dynamic_slice(embeds, (0, c0, 0), (1, C, H))
+        pos_c = c0 + jnp.arange(C, dtype=jnp.int32)[None, :]
+        mask = qwen3.causal_mask(pos_c[0], total_len)
+        res = qwen3.forward(
+            t_params, tcfg, emb_c, pos_c, t_kv, c0, mask, tap_ids=tap_ids
+        )
+        taps_buf = jax.lax.dynamic_update_slice(taps_buf, res.taps, (0, c0, 0))
+        # Keep the hidden row at prompt_len-1 when it falls inside this chunk.
+        rel = prompt_len - 1 - c0
+        row = jax.lax.dynamic_slice_in_dim(
+            res.hidden, jnp.clip(rel, 0, C - 1), 1, axis=1
+        )
+        last_hidden = jnp.where((rel >= 0) & (rel < C), row, last_hidden)
+        return res.kv, taps_buf, last_hidden
+
+    t_kv, taps_buf, last_hidden = jax.lax.fori_loop(
+        0, P // C, body, (t_kv, taps_buf, last_hidden0)
+    )
+    return t_kv, taps_buf, last_hidden
+
+
 def _prefill_impl(
     t_params,
     d_params,
@@ -80,6 +157,9 @@ def _prefill_impl(
     total_len: int,
     max_cycles: int,
     kv_quant: bool = False,
+    prefill_chunk: Optional[int] = None,
+    mesh=None,
+    seq_axis: Optional[str] = None,
 ) -> LoopState:
     """Target prefill + first-token sample + draft context prefill.
 
@@ -92,20 +172,14 @@ def _prefill_impl(
     key, k_sample = jax.random.split(key)
 
     dtype = t_params["embed"].dtype
-    if kv_quant:
-        t_kv = init_quant_kv_cache(tcfg, 1, total_len)
-    else:
-        t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
     d_kv = init_kv_cache(dcfg.model, 1, total_len, dtype)
-
     positions = jnp.arange(P, dtype=jnp.int32)[None, :]
-    embeds = qwen3.embed(t_params, input_ids)
-    mask = qwen3.causal_mask(positions[0], total_len)
-    res = qwen3.forward(
-        t_params, tcfg, embeds, positions, t_kv,
-        jnp.zeros((), jnp.int32), mask, tap_ids=dcfg.target_layer_ids,
+
+    t_kv, taps, last_hidden = _prefill_target(
+        t_params, input_ids, prompt_len,
+        tcfg=tcfg, tap_ids=dcfg.target_layer_ids, total_len=total_len,
+        kv_quant=kv_quant, chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis,
     )
-    last_hidden = jax.lax.dynamic_slice_in_dim(res.hidden, prompt_len - 1, 1, axis=1)
     first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)  # [1,1]
 
     output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
@@ -115,11 +189,11 @@ def _prefill_impl(
     output_ids = jax.lax.dynamic_update_slice(output_ids, prompt_row, (0, 0))
     output_ids = output_ids.at[0, prompt_len].set(first_token[0, 0])
 
-    features = jnp.zeros((1, total_len, dcfg.num_taps * H), res.taps.dtype)
-    features = jax.lax.dynamic_update_slice(features, res.taps, (0, 0, 0))
+    features = jnp.zeros((1, total_len, dcfg.num_taps * H), taps.dtype)
+    features = jax.lax.dynamic_update_slice(features, taps, (0, 0, 0))
 
     d_kv = dflash_draft.append_ctx(
-        d_params, dcfg, d_kv, res.taps, positions, jnp.zeros((), jnp.int32)
+        d_params, dcfg, d_kv, taps, positions, jnp.zeros((), jnp.int32)
     )
 
     return LoopState(
@@ -129,7 +203,7 @@ def _prefill_impl(
         cycle_idx=jnp.zeros((), jnp.int32),
         acc_trace=jnp.zeros((max_cycles,), jnp.int32),
         key=key,
-        t_kv=res.kv,
+        t_kv=t_kv,
         d_kv=d_kv,
         features=features,
     )
@@ -339,7 +413,10 @@ def _decode_impl(
 
 _prefill = jax.jit(
     _prefill_impl,
-    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles", "kv_quant"),
+    static_argnames=(
+        "tcfg", "dcfg", "total_len", "max_cycles", "kv_quant",
+        "prefill_chunk", "mesh", "seq_axis",
+    ),
 )
 _decode = jax.jit(
     _decode_impl,
@@ -362,22 +439,25 @@ class ARState(NamedTuple):
     t_kv: KVCache
 
 
-@partial(jax.jit, static_argnames=("tcfg", "total_len", "mask_token_id", "kv_quant"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tcfg", "total_len", "mask_token_id", "kv_quant",
+        "prefill_chunk", "mesh", "seq_axis",
+    ),
+)
 def _ar_prefill(
     t_params, input_ids, prompt_len, temperature, key,
     *, tcfg: ModelConfig, total_len: int, mask_token_id: int, kv_quant: bool = False,
+    prefill_chunk: Optional[int] = None, mesh=None, seq_axis: Optional[str] = None,
 ) -> ARState:
     P = input_ids.shape[1]
     key, k_sample = jax.random.split(key)
-    if kv_quant:
-        t_kv = init_quant_kv_cache(tcfg, 1, total_len)
-    else:
-        t_kv = init_kv_cache(tcfg, 1, total_len, t_params["embed"].dtype)
-    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
-    embeds = qwen3.embed(t_params, input_ids)
-    mask = qwen3.causal_mask(positions[0], total_len)
-    res = qwen3.forward(t_params, tcfg, embeds, positions, t_kv, jnp.zeros((), jnp.int32), mask)
-    last_hidden = jax.lax.dynamic_slice_in_dim(res.hidden, prompt_len - 1, 1, axis=1)
+    t_kv, _, last_hidden = _prefill_target(
+        t_params, input_ids, prompt_len,
+        tcfg=tcfg, tap_ids=(), total_len=total_len, kv_quant=kv_quant,
+        chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis,
+    )
     first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)
     output_ids = jnp.full((1, total_len), mask_token_id, jnp.int32)
     prompt_row = jnp.where(
@@ -385,7 +465,7 @@ def _ar_prefill(
     )
     output_ids = jax.lax.dynamic_update_slice(output_ids, prompt_row, (0, 0))
     output_ids = output_ids.at[0, prompt_len].set(first_token[0, 0])
-    return ARState(output_ids, prompt_len.astype(jnp.int32), jnp.zeros((), bool), key, res.kv)
+    return ARState(output_ids, prompt_len.astype(jnp.int32), jnp.zeros((), bool), key, t_kv)
 
 
 @partial(jax.jit, static_argnames=("tcfg", "stop_token_ids"))
@@ -445,6 +525,9 @@ class SpecEngine:
         prompt_bucket: int = 128,
         stop_token_ids: Sequence[int] = (),
         kv_quant: bool = False,
+        prefill_chunk: Optional[int] = None,
+        mesh=None,
+        seq_axis: Optional[str] = None,
     ):
         self.tcfg = tcfg
         self.dcfg = dcfg
@@ -456,6 +539,9 @@ class SpecEngine:
         self.prompt_bucket = int(prompt_bucket)
         self.stop_token_ids = tuple(int(s) for s in stop_token_ids)
         self.kv_quant = bool(kv_quant)
+        self.prefill_chunk = prefill_chunk
+        self.mesh = mesh
+        self.seq_axis = seq_axis
         self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
 
     def _pad_prompt(self, input_ids: np.ndarray) -> tuple[jax.Array, int, int]:
@@ -502,6 +588,7 @@ class SpecEngine:
             self.t_params, self.d_params, ids, plen, temp, key,
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_new_tokens, kv_quant=self.kv_quant,
+            prefill_chunk=self.prefill_chunk, mesh=self.mesh, seq_axis=self.seq_axis,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -553,6 +640,7 @@ class SpecEngine:
             self.t_params, ids, plen, temp, key,
             tcfg=self.tcfg, total_len=self.total_len,
             mask_token_id=self.dcfg.mask_token_id, kv_quant=self.kv_quant,
+            prefill_chunk=self.prefill_chunk, mesh=self.mesh, seq_axis=self.seq_axis,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0

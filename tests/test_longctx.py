@@ -1,0 +1,122 @@
+"""Long-context prefill: ring attention, cache-free prefill, chunked prefill.
+
+The reference has no long-context parallelism (SURVEY §5 long-context row);
+these are new TPU-native components.  Correctness anchors:
+  * ring_prefill_attention == gqa_attention with a causal mask (8-dev mesh)
+  * forward_prefill (cache-free O(P^2)) == forward (cache path) numerics
+  * SpecEngine output is invariant to prefill strategy (default / chunked /
+    sequence-parallel ring)
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dflash_tpu.cache.kv import init_kv_cache
+from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+from dflash_tpu.models import dflash_draft, qwen3
+from dflash_tpu.ops.attention import gqa_attention
+from dflash_tpu.parallel.mesh import make_mesh
+from dflash_tpu.parallel.ring import ring_prefill_attention
+from dflash_tpu.spec import SpecEngine
+
+
+@pytest.fixture(scope="module")
+def model_pair():
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=2)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    return tcfg, dcfg, t_params, d_params
+
+
+def test_ring_attention_matches_reference():
+    n = len(jax.devices())
+    mesh = make_mesh(sp=n)
+    B, S, nh, nkv, d = 2, 8 * n, 4, 2, 16
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, S, nh, d), jnp.float32)
+    k = jax.random.normal(kk, (B, S, nkv, d), jnp.float32)
+    v = jax.random.normal(kv, (B, S, nkv, d), jnp.float32)
+    scale = d ** -0.5
+
+    causal = jnp.arange(S)[:, None] >= jnp.arange(S)[None, :]
+    ref = gqa_attention(q, k, v, causal, scale)
+    out = ring_prefill_attention(q, k, v, scale, mesh, "sp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_forward_prefill_matches_cache_forward(model_pair):
+    tcfg, dcfg, t_params, _ = model_pair
+    P, T = 16, 48
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, P), 1, tcfg.vocab_size - 1)
+    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    embeds = qwen3.embed(t_params, ids)
+    taps = dcfg.target_layer_ids
+
+    kv = init_kv_cache(tcfg, 1, T, jnp.float32)
+    mask = qwen3.causal_mask(positions[0], T)
+    ref = qwen3.forward(
+        t_params, tcfg, embeds, positions, kv, jnp.zeros((), jnp.int32), mask,
+        tap_ids=taps,
+    )
+    out = qwen3.forward_prefill(t_params, tcfg, embeds, positions, tap_ids=taps)
+    np.testing.assert_allclose(np.asarray(out.hidden), np.asarray(ref.hidden), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.taps), np.asarray(ref.taps), rtol=1e-5, atol=1e-5)
+    # The produced K/V rows must equal what the cache path wrote at [0, P).
+    np.testing.assert_allclose(
+        np.asarray(out.k), np.asarray(ref.kv.k[:, :, :P]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.v), np.asarray(ref.kv.v[:, :, :P]), rtol=1e-5, atol=1e-5
+    )
+
+
+def _gen_tokens(engine, prompt, **kw):
+    out = engine.generate(prompt, temperature=0.0, **kw)
+    return np.asarray(out.output_ids)
+
+
+@pytest.mark.parametrize("strategy", ["chunked", "ring"])
+def test_prefill_strategy_invariance(model_pair, strategy):
+    tcfg, dcfg, t_params, d_params = model_pair
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (1, 19), 1, tcfg.vocab_size - 2)
+    )
+    common = dict(
+        max_new_tokens=24, prompt_cap=32, prompt_bucket=32, stop_token_ids=(),
+    )
+    base = SpecEngine(tcfg, dcfg, t_params, d_params, **common)
+    ref = _gen_tokens(base, prompt)
+
+    if strategy == "chunked":
+        eng = SpecEngine(
+            tcfg, dcfg, t_params, d_params, prefill_chunk=8, **common
+        )
+    else:
+        mesh = make_mesh(sp=len(jax.devices()))
+        eng = SpecEngine(
+            tcfg, dcfg, t_params, d_params, mesh=mesh, seq_axis="sp", **common
+        )
+    got = _gen_tokens(eng, prompt)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_chunked_prefill_matches_ar(model_pair):
+    tcfg, dcfg, t_params, d_params = model_pair
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(9), (1, 13), 1, tcfg.vocab_size - 2)
+    )
+    eng = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=16,
+        prompt_cap=16, prompt_bucket=16, stop_token_ids=(), prefill_chunk=4,
+    )
+    spec = eng.generate(prompt, temperature=0.0)
+    ar = eng.ar_generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(spec.output_ids), np.asarray(ar.output_ids)
+    )
