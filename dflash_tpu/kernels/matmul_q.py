@@ -23,54 +23,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref, *, n_k: int):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]  # [S, bk] bf16
-    w = w_ref[:].astype(x.dtype)  # [bk, bn] int8 -> bf16 (scale applied at end)
-    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+def _kernel(x_ref, w_ref, scale_ref, out_ref):
+    # One grid step = one [K, bn] weight stripe: full-K dot, scale, write.
+    # The activation block [S, K] stays resident across the whole grid; the
+    # weight stripes double-buffer through VMEM (multi-MB DMAs — bandwidth-
+    # friendly, unlike small square tiles).
+    x = x_ref[:]  # [S, K] bf16
+    w = w_ref[:].astype(x.dtype)  # [K, bn] int8 -> bf16 on the fly
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out_ref[:] = (acc * scale_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "bn"))
+@functools.partial(jax.jit, static_argnames=("bn",))
 def matmul_int8(
     x: jax.Array,  # [S, K] bf16/f32
     w_q: jax.Array,  # [K, N] int8
     scale: jax.Array,  # [1, N] f32
-    bk: int = 512,
-    bn: int = 512,
+    bn: int = 1024,
 ) -> jax.Array:
     """Returns x @ (w_q * scale) as f32, shape [S, N]."""
     S, K = x.shape
     K2, N = w_q.shape
     assert K == K2, (K, K2)
-    bk = min(bk, K)
     bn = min(bn, N)
-    assert K % bk == 0 and N % bn == 0, (K, N, bk, bn)
+    while N % bn:
+        bn //= 2
     # Pad S up to the bf16 sublane tile.
     S_pad = max(16, ((S + 15) // 16) * 16)
     if S_pad != S:
         x = jnp.pad(x, ((0, S_pad - S), (0, 0)))
-    n_k = K // bk
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
-        grid=(N // bn, n_k),
+        _kernel,
+        grid=(N // bn,),
         in_specs=[
-            pl.BlockSpec((S_pad, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_pad, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S_pad, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((S_pad, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S_pad, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((S_pad, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * S_pad * K * N,
             bytes_accessed=K * N + S_pad * K * 2 + S_pad * N * 4,

@@ -117,16 +117,79 @@ def lm_head(params: dict, hidden: jax.Array) -> jax.Array:
     return linear(hidden, w, out_dtype=jnp.float32)
 
 
-def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    """Top-k routed expert MLP (Qwen3-MoE semantics: softmax over all experts,
-    top-k, optional renormalisation of the selected weights)."""
-    b, s, h = x.shape
-    xt = x.reshape(b * s, h)
+def _route(lp: dict, cfg: ModelConfig, xt: jax.Array):
+    """Router: per-token combine weights over all experts.
+
+    Qwen3-MoE semantics: softmax over all experts, top-k, optional
+    renormalisation of the selected weights.  Returns ([T, k] probs,
+    [T, k] indices, [T, E] dense combine matrix)."""
     router_logits = jnp.einsum("th,he->te", xt, lp["router"], preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(router_logits, axis=-1)
     topk_p, topk_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)  # [T, k]
     if cfg.norm_topk_prob:
         topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+    combine = jnp.sum(
+        jax.nn.one_hot(topk_i, cfg.num_experts, dtype=jnp.float32)
+        * topk_p[..., None],
+        axis=1,
+    )  # [T, E]
+    return topk_p, topk_i, combine
+
+
+def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
+    """Top-k routed expert MLP.
+
+    Two dispatch strategies:
+
+    * **Gather** (default / single device): pull the selected experts'
+      weights per (token, k) pair and run batched per-pair matmuls.  Reads
+      only the active experts — right for tiny decode/verify token counts.
+    * **Expert-parallel** (``mesh`` given with experts sharded over
+      (ep, tp), parallel/mesh.py): shard_map keeps every expert table
+      resident on its shard, replicates the (tiny) activations, computes all
+      *local* experts densely, folds in the pre-sliced combine columns and
+      psums the partial outputs.  For B<=32-token verify blocks this beats
+      an all-to-all dispatch: the routed activation payload is tiny while
+      expert weights never move — the all-to-all latency the survey flags
+      (SURVEY §7 hard part 6) is avoided entirely, at the cost of computing
+      unselected local experts (with T*k draws over E experts most experts
+      are hit anyway).
+    """
+    b, s, h = x.shape
+    xt = x.reshape(b * s, h)
+    use_ep = (
+        mesh is not None
+        and "ep" in mesh.shape
+        and (mesh.shape["ep"] * mesh.shape["tp"]) > 1
+        and cfg.num_experts % (mesh.shape["ep"] * mesh.shape["tp"]) == 0
+    )
+    if use_ep:
+        from jax.sharding import PartitionSpec as P
+
+        _, _, combine = _route(lp, cfg, xt)
+
+        def local_experts(gate, up, down, xt, combine_loc):
+            # gate/up: [E_loc, H, Im]; down: [E_loc, Im, H];
+            # combine_loc: [T, E_loc] — shard_map pre-slices the columns, so
+            # expert-index offsets never appear explicitly.
+            g = jnp.einsum("th,ehi->eti", xt, gate, preferred_element_type=jnp.float32)
+            u = jnp.einsum("th,ehi->eti", xt, up, preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(g) * u).astype(xt.dtype)
+            o = jnp.einsum("eti,eih->eth", act, down, preferred_element_type=jnp.float32)
+            o = jnp.einsum("eth,te->th", o, combine_loc.astype(jnp.float32))
+            return jax.lax.psum(o, ("ep", "tp"))
+
+        ep_spec = P(("ep", "tp"))
+        out = jax.shard_map(
+            local_experts,
+            mesh=mesh,
+            in_specs=(ep_spec, ep_spec, ep_spec, P(), P(None, ("ep", "tp"))),
+            out_specs=P(),
+            check_vma=False,
+        )(lp["gate"], lp["up"], lp["down"], xt, combine)
+        return out.astype(x.dtype).reshape(b, s, h)
+
+    topk_p, topk_i, _ = _route(lp, cfg, xt)
     # Gather the selected experts' weights per token.  For the tiny token
     # counts of a verify/decode step this reads only the active experts.
     gate_w = jnp.take(lp["gate"], topk_i, axis=0)  # [T, k, H, Im]
@@ -156,6 +219,7 @@ def forward(
     write_pos: jax.Array,  # scalar int32: cache row of embeds[:, 0]
     mask: jax.Array,  # bool [S, T] or [B, S, T] over the FULL cache buffer
     tap_ids: Tuple[int, ...] = (),
+    mesh=None,
 ) -> ForwardResult:
     """One target forward over S tokens, writing K/V at ``write_pos``.
 
@@ -195,7 +259,7 @@ def forward(
         hidden = hidden + attn
 
         h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
-        mlp_out = _moe_mlp(p, cfg, h_norm2) if cfg.is_moe else _dense_mlp(p, h_norm2)
+        mlp_out = _moe_mlp(p, cfg, h_norm2, mesh) if cfg.is_moe else _dense_mlp(p, h_norm2)
         hidden = hidden + mlp_out
 
         if n_taps > 0:
@@ -279,7 +343,7 @@ def forward_prefill(
         hidden = hidden + attn
 
         h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
-        mlp_out = _moe_mlp(p, cfg, h_norm2) if cfg.is_moe else _dense_mlp(p, h_norm2)
+        mlp_out = _moe_mlp(p, cfg, h_norm2, mesh) if cfg.is_moe else _dense_mlp(p, h_norm2)
         hidden = hidden + mlp_out
 
         if n_taps > 0:
@@ -312,6 +376,7 @@ def forward_block_candidates(
     ctx_kv: KVCache,  # committed-context cache, batch 1
     ctx_len: jax.Array,  # scalar int32 frontier (valid ctx rows < ctx_len)
     tap_ids: Tuple[int, ...] = (),
+    mesh=None,
 ) -> CandidateForwardResult:
     """Verify C candidate blocks in one batched forward over a SHARED context.
 
@@ -378,7 +443,7 @@ def forward_block_candidates(
         hidden = hidden + attn
 
         h_norm2 = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
-        mlp_out = _moe_mlp(p, cfg, h_norm2) if cfg.is_moe else _dense_mlp(p, h_norm2)
+        mlp_out = _moe_mlp(p, cfg, h_norm2, mesh) if cfg.is_moe else _dense_mlp(p, h_norm2)
         hidden = hidden + mlp_out
 
         if n_taps > 0:

@@ -10,10 +10,19 @@ weight-bandwidth-bound, so halving weight bytes halves cycle time.
 
 from __future__ import annotations
 
+import os
 from typing import Union
 
 import jax
 import jax.numpy as jnp
+
+# QTensor matmul backend.  Whole-loop A/B on a v5e chip (Qwen3-4B int8, 512
+# decode steps; op-level microbenches are unreliable through the tunneled TPU
+# runtime) measured the XLA dequant+einsum path at AR 6.62 ms/tok vs 9.03 for
+# the best Pallas tiling — XLA's on-the-fly int8->bf16 convert fused into the
+# matmul pipeline wins at these skinny decode shapes — so XLA is the default
+# and DFLASH_MM=pallas opts into the hand kernel (kernels/matmul_q.py).
+_FORCE_PALLAS_MM = os.environ.get("DFLASH_MM", "").lower() == "pallas"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -63,7 +72,7 @@ def dequantize(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def _use_pallas(x2d: jax.Array, w: QTensor) -> bool:
-    if jax.devices()[0].platform != "tpu":
+    if not _FORCE_PALLAS_MM or jax.devices()[0].platform != "tpu":
         return False
     K, Np = w.q.shape
     return K % 256 == 0 and Np % 256 == 0

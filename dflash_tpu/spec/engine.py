@@ -107,7 +107,7 @@ def _prefill_target(
         res = qwen3.forward_prefill(
             t_params, tcfg, embeds, positions, tap_ids=tap_ids,
             mesh=mesh, seq_axis=seq_axis,
-        )
+        )  # mesh also routes MoE layers through the EP dispatch
         t_kv = write_prompt_rows(t_kv, res.k, res.v)
         last_hidden = jax.lax.dynamic_slice_in_dim(res.hidden, prompt_len - 1, 1, axis=1)
         return t_kv, res.taps, last_hidden
@@ -127,7 +127,8 @@ def _prefill_target(
         pos_c = c0 + jnp.arange(C, dtype=jnp.int32)[None, :]
         mask = qwen3.causal_mask(pos_c[0], total_len)
         res = qwen3.forward(
-            t_params, tcfg, emb_c, pos_c, t_kv, c0, mask, tap_ids=tap_ids
+            t_params, tcfg, emb_c, pos_c, t_kv, c0, mask, tap_ids=tap_ids,
+            mesh=mesh,
         )
         taps_buf = jax.lax.dynamic_update_slice(taps_buf, res.taps, (0, c0, 0))
         # Keep the hidden row at prompt_len-1 when it falls inside this chunk.
@@ -280,6 +281,7 @@ def _verify_stage(
     stop_token_ids: Tuple[int, ...],
     forced_acc: Optional[jax.Array] = None,
     with_aux: bool = False,
+    mesh=None,
 ):
     B = block_size
     T = state.output_ids.shape[1]
@@ -292,7 +294,7 @@ def _verify_stage(
     v_mask = qwen3.causal_mask(block_positions[0], T)
     res = qwen3.forward(
         t_params, tcfg, v_embeds, block_positions, state.t_kv, start, v_mask,
-        tap_ids=dcfg.target_layer_ids,
+        tap_ids=dcfg.target_layer_ids, mesh=mesh,
     )
     posterior = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)  # [1, B]
 
@@ -368,6 +370,7 @@ def _cycle(
     draft_temperature: Optional[jax.Array] = None,
     draft_steps: int = 1,
     with_aux: bool = False,
+    mesh=None,
 ):
     """One fused draft -> verify -> accept cycle (see module docstring)."""
     d_kv, block = _draft_stage(
@@ -379,6 +382,7 @@ def _cycle(
         state, d_kv, block, t_params, temperature,
         tcfg=tcfg, dcfg=dcfg, block_size=block_size,
         stop_token_ids=stop_token_ids, forced_acc=forced_acc, with_aux=with_aux,
+        mesh=mesh,
     )
 
 
@@ -396,6 +400,7 @@ def _decode_impl(
     max_cycles: int,
     forced_acc: Optional[jax.Array] = None,
     draft_steps: int = 1,
+    mesh=None,
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -405,7 +410,7 @@ def _decode_impl(
             s, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=forced_acc,
-            draft_steps=draft_steps,
+            draft_steps=draft_steps, mesh=mesh,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -421,7 +426,8 @@ _prefill = jax.jit(
 _decode = jax.jit(
     _decode_impl,
     static_argnames=(
-        "tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles", "draft_steps"
+        "tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles",
+        "draft_steps", "mesh",
     ),
 )
 
@@ -468,10 +474,10 @@ def _ar_prefill(
     return ARState(output_ids, prompt_len.astype(jnp.int32), jnp.zeros((), bool), key, t_kv)
 
 
-@partial(jax.jit, static_argnames=("tcfg", "stop_token_ids"))
+@partial(jax.jit, static_argnames=("tcfg", "stop_token_ids", "mesh"))
 def _ar_decode(
     t_params, state: ARState, max_length, temperature,
-    *, tcfg: ModelConfig, stop_token_ids: Tuple[int, ...],
+    *, tcfg: ModelConfig, stop_token_ids: Tuple[int, ...], mesh=None,
 ) -> ARState:
     T = state.output_ids.shape[1]
 
@@ -484,7 +490,7 @@ def _ar_decode(
         positions = s.start[None, None] * jnp.ones((1, 1), jnp.int32)
         embeds = qwen3.embed(t_params, tok)
         mask = qwen3.causal_mask(positions[0], T)
-        res = qwen3.forward(t_params, tcfg, embeds, positions, s.t_kv, s.start, mask)
+        res = qwen3.forward(t_params, tcfg, embeds, positions, s.t_kv, s.start, mask, mesh=mesh)
         nxt = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)[0, 0]
         output_ids = s.output_ids.at[0, s.start + 1].set(nxt)
         eos = jnp.zeros((), bool)
@@ -603,7 +609,7 @@ class SpecEngine:
             self.t_params, self.d_params, state, max_length, temp,
             tcfg=self.tcfg, dcfg=self.dcfg, block_size=self.block_size,
             stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
-            forced_acc=forced_acc, draft_steps=draft_steps,
+            forced_acc=forced_acc, draft_steps=draft_steps, mesh=self.mesh,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1
@@ -648,7 +654,7 @@ class SpecEngine:
         t1 = time.perf_counter()
         state = _ar_decode(
             self.t_params, state, max_length, temp,
-            tcfg=self.tcfg, stop_token_ids=self.stop_token_ids,
+            tcfg=self.tcfg, stop_token_ids=self.stop_token_ids, mesh=self.mesh,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1

@@ -87,23 +87,21 @@ def test_pallas_matmul_int8_matches_reference():
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(3)
-    S, K, N, bk, bn = 16, 512, 512, 256, 256
+    S, K, N, bn = 16, 512, 512, 256
     x = jnp.asarray(rng.normal(size=(S, K)).astype(np.float32), jnp.bfloat16)
     w = jnp.asarray(rng.integers(-127, 127, size=(K, N)), jnp.int8)
     scale = jnp.asarray(rng.uniform(0.001, 0.01, size=(1, N)).astype(np.float32))
 
-    n_k = K // bk
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
-        grid=(N // bn, n_k),
+        _kernel,
+        grid=(N // bn,),
         in_specs=[
-            pl.BlockSpec((S, bk), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S, bn), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((S, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((S, bn), jnp.float32)],
         interpret=True,
     )(x, w, scale)
 

@@ -132,3 +132,43 @@ def test_moe_expert_sharded_decode_runs():
     plain, _ = _run_batched(None, tcfg, dcfg, t_params, d_params, R=2, shard=False)
     np.testing.assert_array_equal(sharded.output_ids, plain.output_ids)
     assert (sharded.start > np.asarray(plens)).all()
+
+
+def test_moe_ep_dispatch_matches_gather():
+    """Expert-parallel shard_map dispatch (experts over ep x tp) must equal
+    the single-device gather dispatch numerically, and full spec decode with
+    an EP mesh must match the unsharded engine token-for-token."""
+    from dflash_tpu.spec import SpecEngine
+
+    tp, ep = 2, 2
+    tcfg = tiny_target_config(
+        num_attention_heads=2 * tp, num_key_value_heads=tp, head_dim=16,
+        hidden_size=32 * tp, num_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=32,
+    )
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    dcfg = dataclasses.replace(
+        dcfg,
+        model=dataclasses.replace(
+            dcfg.model, num_experts=0, num_experts_per_tok=0, moe_intermediate_size=0
+        ),
+    )
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    mesh = make_mesh(dp=1, tp=tp, ep=ep)
+    t_sh = shard_params(t_params, target_param_shardings(tcfg, mesh))
+    d_sh = shard_params(d_params, draft_param_shardings(dcfg, mesh))
+
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (1, 9), 1, tcfg.vocab_size - 2)
+    )
+    common = dict(max_new_tokens=12, prompt_cap=16, prompt_bucket=16, stop_token_ids=())
+    ref = SpecEngine(tcfg, dcfg, t_params, d_params, **common).generate(
+        prompt, temperature=0.0
+    )
+    got = SpecEngine(tcfg, dcfg, t_sh, d_sh, mesh=mesh, **common).generate(
+        prompt, temperature=0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.output_ids), np.asarray(ref.output_ids)
+    )
