@@ -149,7 +149,12 @@ def verify_attention(
     T = k_cache.shape[1]
     n_kv = k_cache.shape[2]
     g = nh // n_kv
-    assert T % ck == 0, (T, ck)
+    if T % ck:
+        ck = next((c for c in (512, 256, 128) if T % c == 0), None)
+        if ck is None:
+            raise ValueError(f"cache len {T} must be a multiple of 128")
+    # Mosaic compiles only for TPU; everywhere else (CPU tests) interpret.
+    interpret = interpret or jax.devices()[0].platform != "tpu"
     scale = d ** -0.5
 
     # [B, nh, d] -> [n_kv, g*B, d] with row r = g_idx * B + b_idx

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 
 from dflash_tpu.cache.kv import KVCache, QuantKVCache, update_any, update_layer
 from dflash_tpu.core.config import ModelConfig
-from dflash_tpu.ops.attention import gqa_attention, gqa_attention_quant
+from dflash_tpu.ops.attention import (
+    attention_buckets,
+    gqa_attention,
+    gqa_attention_bucketed,
+    gqa_attention_quant,
+    gqa_attention_quant_bucketed,
+)
 from dflash_tpu.ops.linear import linear
 from dflash_tpu.ops.norms import rms_norm
 from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -34,11 +40,26 @@ class ForwardResult(NamedTuple):
     kv: KVCache  # or QuantKVCache
 
 
-def _attend_cache(q, cache_layer, mask, scale):
+def _attend_cache(q, cache_layer, mask, scale, limit=None):
+    """Attention over a cache-layer slice; with ``limit`` (a dynamic scalar
+    upper bound on valid key rows) the read is bucketed to the smallest
+    static prefix covering it — O(frontier) HBM traffic instead of O(T)."""
+    # NB: cache_layer here is a per-layer slice [B, T, n_kv, d] (the stacked
+    # [L, ...] layout's .max_len property does not apply) — T is axis 1.
+    T = cache_layer.k.shape[1]
     if isinstance(cache_layer, QuantKVCache):
+        if limit is not None:
+            return gqa_attention_quant_bucketed(
+                q, cache_layer.k, cache_layer.k_scale, cache_layer.v,
+                cache_layer.v_scale, mask, scale, limit, attention_buckets(T),
+            )
         return gqa_attention_quant(
             q, cache_layer.k, cache_layer.k_scale, cache_layer.v,
             cache_layer.v_scale, mask, scale,
+        )
+    if limit is not None:
+        return gqa_attention_bucketed(
+            q, cache_layer.k, cache_layer.v, mask, scale, limit, attention_buckets(T)
         )
     return gqa_attention(q, cache_layer.k, cache_layer.v, mask, scale)
 
@@ -220,11 +241,19 @@ def forward(
     mask: jax.Array,  # bool [S, T] or [B, S, T] over the FULL cache buffer
     tap_ids: Tuple[int, ...] = (),
     mesh=None,
+    attn_impl: str = "xla",
+    attn_limit: Optional[jax.Array] = None,  # [] int32: no valid key >= limit
 ) -> ForwardResult:
     """One target forward over S tokens, writing K/V at ``write_pos``.
 
     The attention keys are the whole cache buffer *after* this call's write,
     masked by ``mask`` (the caller encodes causality + the valid frontier).
+
+    ``attn_impl="pallas"`` routes attention through the frontier-bounded
+    Pallas kernel (kernels/attention.py): per-cycle attention HBM traffic is
+    O(write_pos + S) instead of O(T) — the long-context decode path.  Valid
+    only when ``positions[b, i] == write_pos + i`` (the verify/AR decode
+    pattern), batch 1, unquantized cache.
     """
     B, S, H = embeds.shape
     nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -254,7 +283,16 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         cache_layer = update_any(cache_layer, k, v, write_pos)
-        attn = _attend_cache(q, cache_layer, mask, scale)
+        if attn_impl == "pallas":
+            from dflash_tpu.kernels.attention import verify_attention
+
+            if B != 1 or isinstance(cache_layer, QuantKVCache):
+                raise ValueError("attn_impl='pallas' needs batch 1 + bf16 cache")
+            attn = verify_attention(
+                q, cache_layer.k, cache_layer.v, write_pos, block=S
+            )
+        else:
+            attn = _attend_cache(q, cache_layer, mask, scale, attn_limit)
         attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
         hidden = hidden + attn
 

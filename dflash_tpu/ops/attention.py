@@ -44,6 +44,70 @@ def gqa_attention(
     return out.reshape(b, sq, n_heads * d).astype(q.dtype)
 
 
+def attention_buckets(max_len: int, smallest: int = 512) -> tuple:
+    """Static bucket ladder: powers-of-two multiples of ``smallest`` up to
+    ``max_len`` (always includes ``max_len``)."""
+    buckets = []
+    b = smallest
+    while b < max_len:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_len)
+    return tuple(buckets)
+
+
+def gqa_attention_bucketed(
+    q: jax.Array,
+    k: jax.Array,  # [B, T, n_kv, d] full cache buffer
+    v: jax.Array,
+    mask: jax.Array,  # bool [Sq, T] or [B, Sq, T]
+    scale: float,
+    limit: jax.Array,  # [] int32 — no valid key at row >= limit
+    buckets: tuple,
+) -> jax.Array:
+    """``gqa_attention`` reading only the smallest static prefix bucket that
+    covers ``limit``.
+
+    The XLA attention reads all T cache rows every step even when only the
+    frontier prefix is valid; a ``lax.switch`` over a handful of static
+    prefix lengths makes per-step attention HBM traffic O(frontier) while
+    keeping XLA's fused attention kernels (measured faster than a
+    hand-written frontier-bounded Pallas kernel on v5e — docs/RESULTS.md).
+    Requires ``mask`` to exclude every row >= limit; results are bitwise
+    identical to the full read (masked tails contribute exactly zero).
+    """
+    idx = sum(
+        jnp.asarray(limit > b, jnp.int32) for b in buckets[:-1]
+    ) if len(buckets) > 1 else jnp.zeros((), jnp.int32)
+
+    def branch(b):
+        def run():
+            m = mask[..., :b]
+            return gqa_attention(q, k[:, :b], v[:, :b], m, scale)
+        return run
+
+    return jax.lax.switch(idx, [branch(b) for b in buckets])
+
+
+def gqa_attention_quant_bucketed(
+    q, k_q, k_scale, v_q, v_scale, mask, scale, limit, buckets: tuple
+):
+    """Bucketed variant of :func:`gqa_attention_quant` (int8 KV cache)."""
+    idx = sum(
+        jnp.asarray(limit > b, jnp.int32) for b in buckets[:-1]
+    ) if len(buckets) > 1 else jnp.zeros((), jnp.int32)
+
+    def branch(b):
+        def run():
+            return gqa_attention_quant(
+                q, k_q[:, :b], k_scale[:, :b], v_q[:, :b], v_scale[:, :b],
+                mask[..., :b], scale,
+            )
+        return run
+
+    return jax.lax.switch(idx, [branch(b) for b in buckets])
+
+
 def gqa_attention_quant(
     q: jax.Array,  # [B, Sq, n_heads, d]
     k_q: jax.Array,  # [B, Sk, n_kv, d] int8

@@ -84,6 +84,7 @@ def _prefill_target(
     chunk: Optional[int] = None,
     mesh=None,
     seq_axis: Optional[str] = None,
+    attn_impl: str = "xla",
 ):
     """Shared target-side prefill: returns (t_kv, taps [1,P,F], last_hidden).
 
@@ -129,6 +130,7 @@ def _prefill_target(
         res = qwen3.forward(
             t_params, tcfg, emb_c, pos_c, t_kv, c0, mask, tap_ids=tap_ids,
             mesh=mesh,
+            attn_limit=(c0 + C) if attn_impl == "bucketed" else None,
         )
         taps_buf = jax.lax.dynamic_update_slice(taps_buf, res.taps, (0, c0, 0))
         # Keep the hidden row at prompt_len-1 when it falls inside this chunk.
@@ -161,6 +163,7 @@ def _prefill_impl(
     prefill_chunk: Optional[int] = None,
     mesh=None,
     seq_axis: Optional[str] = None,
+    attn_impl: str = "xla",
 ) -> LoopState:
     """Target prefill + first-token sample + draft context prefill.
 
@@ -180,6 +183,7 @@ def _prefill_impl(
         t_params, input_ids, prompt_len,
         tcfg=tcfg, tap_ids=dcfg.target_layer_ids, total_len=total_len,
         kv_quant=kv_quant, chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis,
+        attn_impl=attn_impl,
     )
     first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)  # [1,1]
 
@@ -282,6 +286,7 @@ def _verify_stage(
     forced_acc: Optional[jax.Array] = None,
     with_aux: bool = False,
     mesh=None,
+    attn_impl: str = "xla",
 ):
     B = block_size
     T = state.output_ids.shape[1]
@@ -295,6 +300,8 @@ def _verify_stage(
     res = qwen3.forward(
         t_params, tcfg, v_embeds, block_positions, state.t_kv, start, v_mask,
         tap_ids=dcfg.target_layer_ids, mesh=mesh,
+        attn_impl="xla" if attn_impl == "bucketed" else attn_impl,
+        attn_limit=(start + B) if attn_impl == "bucketed" else None,
     )
     posterior = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)  # [1, B]
 
@@ -371,6 +378,7 @@ def _cycle(
     draft_steps: int = 1,
     with_aux: bool = False,
     mesh=None,
+    attn_impl: str = "xla",
 ):
     """One fused draft -> verify -> accept cycle (see module docstring)."""
     d_kv, block = _draft_stage(
@@ -382,7 +390,7 @@ def _cycle(
         state, d_kv, block, t_params, temperature,
         tcfg=tcfg, dcfg=dcfg, block_size=block_size,
         stop_token_ids=stop_token_ids, forced_acc=forced_acc, with_aux=with_aux,
-        mesh=mesh,
+        mesh=mesh, attn_impl=attn_impl,
     )
 
 
@@ -401,6 +409,7 @@ def _decode_impl(
     forced_acc: Optional[jax.Array] = None,
     draft_steps: int = 1,
     mesh=None,
+    attn_impl: str = "xla",
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -410,7 +419,7 @@ def _decode_impl(
             s, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=forced_acc,
-            draft_steps=draft_steps, mesh=mesh,
+            draft_steps=draft_steps, mesh=mesh, attn_impl=attn_impl,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -420,14 +429,14 @@ _prefill = jax.jit(
     _prefill_impl,
     static_argnames=(
         "tcfg", "dcfg", "total_len", "max_cycles", "kv_quant",
-        "prefill_chunk", "mesh", "seq_axis",
+        "prefill_chunk", "mesh", "seq_axis", "attn_impl",
     ),
 )
 _decode = jax.jit(
     _decode_impl,
     static_argnames=(
         "tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles",
-        "draft_steps", "mesh",
+        "draft_steps", "mesh", "attn_impl",
     ),
 )
 
@@ -449,20 +458,21 @@ class ARState(NamedTuple):
     jax.jit,
     static_argnames=(
         "tcfg", "total_len", "mask_token_id", "kv_quant",
-        "prefill_chunk", "mesh", "seq_axis",
+        "prefill_chunk", "mesh", "seq_axis", "attn_impl",
     ),
 )
 def _ar_prefill(
     t_params, input_ids, prompt_len, temperature, key,
     *, tcfg: ModelConfig, total_len: int, mask_token_id: int, kv_quant: bool = False,
     prefill_chunk: Optional[int] = None, mesh=None, seq_axis: Optional[str] = None,
+    attn_impl: str = "xla",
 ) -> ARState:
     P = input_ids.shape[1]
     key, k_sample = jax.random.split(key)
     t_kv, _, last_hidden = _prefill_target(
         t_params, input_ids, prompt_len,
         tcfg=tcfg, tap_ids=(), total_len=total_len, kv_quant=kv_quant,
-        chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis,
+        chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis, attn_impl=attn_impl,
     )
     first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)
     output_ids = jnp.full((1, total_len), mask_token_id, jnp.int32)
@@ -474,10 +484,11 @@ def _ar_prefill(
     return ARState(output_ids, prompt_len.astype(jnp.int32), jnp.zeros((), bool), key, t_kv)
 
 
-@partial(jax.jit, static_argnames=("tcfg", "stop_token_ids", "mesh"))
+@partial(jax.jit, static_argnames=("tcfg", "stop_token_ids", "mesh", "attn_impl"))
 def _ar_decode(
     t_params, state: ARState, max_length, temperature,
     *, tcfg: ModelConfig, stop_token_ids: Tuple[int, ...], mesh=None,
+    attn_impl: str = "xla",
 ) -> ARState:
     T = state.output_ids.shape[1]
 
@@ -490,7 +501,12 @@ def _ar_decode(
         positions = s.start[None, None] * jnp.ones((1, 1), jnp.int32)
         embeds = qwen3.embed(t_params, tok)
         mask = qwen3.causal_mask(positions[0], T)
-        res = qwen3.forward(t_params, tcfg, embeds, positions, s.t_kv, s.start, mask, mesh=mesh)
+        res = qwen3.forward(
+            t_params, tcfg, embeds, positions, s.t_kv, s.start, mask,
+            mesh=mesh,
+            attn_impl="xla" if attn_impl == "bucketed" else attn_impl,
+            attn_limit=(s.start + 1) if attn_impl == "bucketed" else None,
+        )
         nxt = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)[0, 0]
         output_ids = s.output_ids.at[0, s.start + 1].set(nxt)
         eos = jnp.zeros((), bool)
@@ -534,6 +550,7 @@ class SpecEngine:
         prefill_chunk: Optional[int] = None,
         mesh=None,
         seq_axis: Optional[str] = None,
+        attn_impl: str = "xla",
     ):
         self.tcfg = tcfg
         self.dcfg = dcfg
@@ -548,7 +565,11 @@ class SpecEngine:
         self.prefill_chunk = prefill_chunk
         self.mesh = mesh
         self.seq_axis = seq_axis
+        self.attn_impl = attn_impl
         self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
+        if attn_impl == "pallas":
+            # frontier-bounded kernel streams the cache in fixed-size chunks
+            self.total_len = _round_up(self.total_len, 512)
 
     def _pad_prompt(self, input_ids: np.ndarray) -> tuple[jax.Array, int, int]:
         input_ids = np.asarray(input_ids)
@@ -595,6 +616,7 @@ class SpecEngine:
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_new_tokens, kv_quant=self.kv_quant,
             prefill_chunk=self.prefill_chunk, mesh=self.mesh, seq_axis=self.seq_axis,
+            attn_impl=self.attn_impl,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -610,6 +632,7 @@ class SpecEngine:
             tcfg=self.tcfg, dcfg=self.dcfg, block_size=self.block_size,
             stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
             forced_acc=forced_acc, draft_steps=draft_steps, mesh=self.mesh,
+            attn_impl=self.attn_impl,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1
@@ -647,6 +670,7 @@ class SpecEngine:
             tcfg=self.tcfg, total_len=self.total_len,
             mask_token_id=self.dcfg.mask_token_id, kv_quant=self.kv_quant,
             prefill_chunk=self.prefill_chunk, mesh=self.mesh, seq_axis=self.seq_axis,
+            attn_impl=self.attn_impl,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -655,6 +679,7 @@ class SpecEngine:
         state = _ar_decode(
             self.t_params, state, max_length, temp,
             tcfg=self.tcfg, stop_token_ids=self.stop_token_ids, mesh=self.mesh,
+            attn_impl=self.attn_impl,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1

@@ -81,6 +81,24 @@ def _gen_tokens(engine, prompt, **kw):
     return np.asarray(out.output_ids)
 
 
+def test_pallas_attn_impl_matches_ar(model_pair):
+    """Decode with the frontier-bounded Pallas verify attention (interpret
+    mode on CPU) must equal the XLA-attention engine token-for-token."""
+    tcfg, dcfg, t_params, d_params = model_pair
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(11), (1, 17), 1, tcfg.vocab_size - 2)
+    )
+    common = dict(max_new_tokens=16, prompt_cap=32, prompt_bucket=32, stop_token_ids=())
+    ref = SpecEngine(tcfg, dcfg, t_params, d_params, **common).generate(
+        prompt, temperature=0.0
+    )
+    eng = SpecEngine(tcfg, dcfg, t_params, d_params, attn_impl="pallas", **common)
+    got = eng.generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got.output_ids), np.asarray(ref.output_ids))
+    ar = eng.ar_generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got.output_ids), np.asarray(ar.output_ids))
+
+
 @pytest.mark.parametrize("strategy", ["chunked", "ring"])
 def test_prefill_strategy_invariance(model_pair, strategy):
     tcfg, dcfg, t_params, d_params = model_pair
@@ -119,4 +137,23 @@ def test_chunked_prefill_matches_ar(model_pair):
     ar = eng.ar_generate(prompt, temperature=0.0)
     np.testing.assert_array_equal(
         np.asarray(spec.output_ids), np.asarray(ar.output_ids)
+    )
+
+
+def test_bucketed_attention_matches_full_read(model_pair):
+    """attn_impl='bucketed' must produce the same tokens as the full-T read
+    (spec==AR alone cannot catch a consistently-wrong bounded read)."""
+    tcfg, dcfg, t_params, d_params = model_pair
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(13), (1, 21), 1, tcfg.vocab_size - 2)
+    )
+    common = dict(max_new_tokens=16, prompt_cap=32, prompt_bucket=32, stop_token_ids=())
+    full = SpecEngine(tcfg, dcfg, t_params, d_params, attn_impl="xla", **common)
+    buck = SpecEngine(tcfg, dcfg, t_params, d_params, attn_impl="bucketed", **common)
+    a = full.generate(prompt, temperature=0.0)
+    b = buck.generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(a.output_ids), np.asarray(b.output_ids))
+    np.testing.assert_array_equal(
+        np.asarray(full.ar_generate(prompt, temperature=0.0).output_ids),
+        np.asarray(buck.ar_generate(prompt, temperature=0.0).output_ids),
     )
