@@ -60,10 +60,10 @@ class Request:
     done_event: threading.Event = field(default_factory=threading.Event)
 
 
-def _select_lane(batched, lane: jax.Array, single):
+def _select_lane(batched, lane: jax.Array, single, axis: int = 0):
     """Write a batch-1 pytree into lane ``lane`` of a batched pytree."""
     return jax.tree.map(
-        lambda full, one: jax.lax.dynamic_update_index_in_dim(full, one, lane, 0),
+        lambda full, one: jax.lax.dynamic_update_index_in_dim(full, one, lane, axis),
         batched,
         single,
     )
@@ -71,7 +71,19 @@ def _select_lane(batched, lane: jax.Array, single):
 
 @partial(jax.jit, donate_argnums=(0,))
 def _admit(batched_state: LoopState, lane: jax.Array, single_state: LoopState) -> LoopState:
-    return _select_lane(batched_state, lane, single_state)
+    # Lane axis placement per spec.batched.STATE_AXES: KV caches carry the
+    # lane axis at position 1 (behind layers), everything else leading.
+    return batched_state._replace(
+        output_ids=_select_lane(batched_state.output_ids, lane, single_state.output_ids),
+        start=_select_lane(batched_state.start, lane, single_state.start),
+        done=_select_lane(batched_state.done, lane, single_state.done),
+        cycle_idx=_select_lane(batched_state.cycle_idx, lane, single_state.cycle_idx),
+        acc_trace=_select_lane(batched_state.acc_trace, lane, single_state.acc_trace),
+        key=_select_lane(batched_state.key, lane, single_state.key),
+        t_kv=_select_lane(batched_state.t_kv, lane, single_state.t_kv, axis=1),
+        d_kv=_select_lane(batched_state.d_kv, lane, single_state.d_kv, axis=1),
+        features=_select_lane(batched_state.features, lane, single_state.features),
+    )
 
 
 class ContinuousBatchingEngine:
@@ -126,6 +138,8 @@ class ContinuousBatchingEngine:
             if self.cfg.kv_quant
             else init_kv_cache(self.tcfg, 1, T, dtype)
         )
+        # KV lane axis at position 1, behind layers (spec.batched.STATE_AXES).
+        lane1 = lambda x: jnp.zeros(x.shape[:1] + (R,) + x.shape[1:], x.dtype)
         return LoopState(
             output_ids=jnp.full((R, 1, T), self.dcfg.mask_token_id, jnp.int32),
             start=jnp.zeros((R,), jnp.int32),
@@ -133,13 +147,8 @@ class ContinuousBatchingEngine:
             cycle_idx=mk(),
             acc_trace=mk(self.max_cycles),
             key=jnp.stack([jax.random.PRNGKey(self.cfg.seed)] * R),
-            t_kv=jax.tree.map(
-                lambda x: jnp.zeros((R,) + x.shape, x.dtype), t_kv0
-            ),
-            d_kv=jax.tree.map(
-                lambda x: jnp.zeros((R,) + x.shape, x.dtype),
-                init_kv_cache(self.dcfg.model, 1, T, dtype),
-            ),
+            t_kv=jax.tree.map(lane1, t_kv0),
+            d_kv=jax.tree.map(lane1, init_kv_cache(self.dcfg.model, 1, T, dtype)),
             features=jnp.zeros(
                 (R, 1, T, self.dcfg.num_taps * self.tcfg.hidden_size), dtype
             ),

@@ -93,8 +93,16 @@ def linear(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
 
             out = matmul_int8(x2d, w.q, w.scale)
         else:
-            wq = (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
-            out = jnp.einsum("sk,kn->sn", x2d, wq, preferred_element_type=jnp.float32)
+            # Scale on the OUTPUT, not the weight: int8 -> bf16 is exact (no
+            # rounding), the bare convert fuses into the matmul instead of
+            # materializing a dequantized copy of the matrix (profiling showed
+            # XLA materializing the full bf16 lm_head per batched cycle when
+            # the weight-side multiply chain was CSE'd across two call sites),
+            # and the f32 accumulator absorbs the per-channel scale at the end.
+            out = jnp.einsum(
+                "sk,kn->sn", x2d, w.q.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * w.scale
         out = out[:, : w.n].reshape(*lead, w.n)
         return out.astype(out_dtype)
     return jnp.einsum(

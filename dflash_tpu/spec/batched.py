@@ -25,6 +25,52 @@ from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.spec.engine import LoopState, _cycle, _decode_impl, _prefill_impl
 
 
+# Per-leaf vmap axis for the request/lane dimension.  KV caches put the
+# lane axis at position 1, BEHIND the layer axis: the per-layer scan inside
+# the forward then consumes the stacked caches natively — with lanes leading,
+# XLA transposes the whole multi-GB KV stack to layer-major and back every
+# cycle (profiled at ~2.4 ms/cycle at 8 lanes, docs/RESULTS.md).
+STATE_AXES = LoopState(
+    output_ids=0, start=0, done=0, cycle_idx=0, acc_trace=0, key=0,
+    t_kv=1, d_kv=1, features=0,
+)
+
+
+def state_shardings(mesh):
+    """NamedShardings placing the lane axis of every LoopState leaf on dp."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf(axis):
+        def mk(x):
+            spec = [None] * x.ndim
+            spec[axis] = "dp"
+            return NamedSharding(mesh, P(*spec))
+        return mk
+
+    def sub(tree, axis):
+        return jax.tree.map(leaf(axis), tree)
+
+    def apply(state: LoopState):
+        return LoopState(
+            output_ids=sub(state.output_ids, 0),
+            start=sub(state.start, 0),
+            done=sub(state.done, 0),
+            cycle_idx=sub(state.cycle_idx, 0),
+            acc_trace=sub(state.acc_trace, 0),
+            key=sub(state.key, 0),
+            t_kv=sub(state.t_kv, 1),
+            d_kv=sub(state.d_kv, 1),
+            features=sub(state.features, 0),
+        )
+
+    return apply
+
+
+def shard_state(state: LoopState, mesh) -> LoopState:
+    """dp-shard a batched LoopState's lane axis across the mesh."""
+    return jax.tree.map(jax.device_put, state, state_shardings(mesh)(state))
+
+
 def batched_prefill(
     t_params,
     d_params,
@@ -38,11 +84,13 @@ def batched_prefill(
     total_len: int,
     max_cycles: int,
 ) -> LoopState:
-    """Per-request prefill; returns a LoopState with leading request axis."""
+    """Per-request prefill; returns a LoopState with the request axis per
+    STATE_AXES (leading everywhere except the KV caches, where it sits
+    behind the layer axis)."""
     f = partial(
         _prefill_impl, tcfg=tcfg, dcfg=dcfg, total_len=total_len, max_cycles=max_cycles
     )
-    return jax.vmap(f, in_axes=(None, None, 0, 0, None, 0))(
+    return jax.vmap(f, in_axes=(None, None, 0, 0, None, 0), out_axes=STATE_AXES)(
         t_params, d_params, input_ids, prompt_lens, temperature, keys
     )
 
@@ -61,18 +109,52 @@ def batched_decode(
     max_cycles: int,
     forced_acc=None,  # optional [R, max_cycles] per-lane acceptance override
 ) -> LoopState:
-    def f(tp, dp, st, ml, t, fa):
-        return _decode_impl(
-            tp, dp, st, ml, t,
+    # NOT vmap(_decode_impl): a vmapped while_loop freezes finished lanes by
+    # selecting over EVERY carry each iteration — profiled at 2.3 GB of KV
+    # read+write per cycle at 8 lanes (docs/RESULTS.md).  Instead the loop is
+    # written at the batched level and the freeze select covers only the
+    # small per-lane state; the KV caches / feature buffers of finished lanes
+    # advance freely (their writes land at the frozen frontier, beyond the
+    # committed region, and nobody reads a finished lane's cache again).
+    R = max_lengths.shape[0]
+
+    def cycle_one(st, fa):
+        return _cycle(
+            st, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
-            stop_token_ids=stop_token_ids, max_cycles=max_cycles,
-            forced_acc=fa,
+            stop_token_ids=stop_token_ids, forced_acc=fa,
         )
 
     fa_axis = None if forced_acc is None else 0
-    return jax.vmap(f, in_axes=(None, None, 0, 0, None, fa_axis))(
-        t_params, d_params, state, max_lengths, temperature, forced_acc
-    )
+    vcycle = jax.vmap(cycle_one, in_axes=(STATE_AXES, fa_axis), out_axes=STATE_AXES)
+
+    def lane_active(st):
+        return (st.start < max_lengths) & (~st.done) & (st.cycle_idx < max_cycles)
+
+    def cond(st):
+        return jnp.any(lane_active(st))
+
+    def body(st):
+        new = vcycle(st, forced_acc)
+        active = lane_active(st)
+
+        def sel(old, new_):
+            a = active.reshape((R,) + (1,) * (old.ndim - 1))
+            return jnp.where(a, new_, old)
+
+        return st._replace(
+            output_ids=sel(st.output_ids, new.output_ids),
+            start=jnp.where(active, new.start, st.start),
+            done=jnp.where(active, new.done, st.done),
+            cycle_idx=jnp.where(active, new.cycle_idx, st.cycle_idx),
+            acc_trace=sel(st.acc_trace, new.acc_trace),
+            key=sel(st.key, new.key),
+            t_kv=new.t_kv,
+            d_kv=new.d_kv,
+            features=new.features,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
 
 
 def batched_cycle(
@@ -95,7 +177,7 @@ def batched_cycle(
         block_size=block_size,
         stop_token_ids=stop_token_ids,
     )
-    return jax.vmap(f, in_axes=(0, None, None, None))(
+    return jax.vmap(f, in_axes=(STATE_AXES, None, None, None), out_axes=STATE_AXES)(
         state, t_params, d_params, temperature
     )
 

@@ -50,12 +50,9 @@ def _run_batched(mesh, tcfg, dcfg, t_params, d_params, R, shard=True):
         tcfg=tcfg, dcfg=dcfg, total_len=total_len, max_cycles=max_cycles,
     )
     if shard and mesh is not None:
-        state = jax.tree.map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(*(("dp",) + (None,) * (x.ndim - 1))))
-            ),
-            state,
-        )
+        from dflash_tpu.spec.batched import shard_state
+
+        state = shard_state(state, mesh)
     max_lengths = prompt_lens + 12
     state = jit_batched_decode(
         t_params, d_params, state, max_lengths, temp,
