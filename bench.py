@@ -142,7 +142,8 @@ def main():
         prompt_lens = jnp.asarray([117] * lanes, jnp.int32)
         keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lanes, dtype=jnp.uint32))
         kwargs = dict(tcfg=tcfg, dcfg=dcfg, total_len=engine.total_len,
-                      max_cycles=max_new)
+                      max_cycles=max_new,
+                      kv_quant=os.environ.get("BENCH_KV_QUANT", "") == "1")
         st = jit_batched_prefill(
             t_params, d_params, input_ids, prompt_lens, jnp.float32(0), keys, **kwargs
         )

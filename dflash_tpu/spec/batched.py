@@ -83,12 +83,14 @@ def batched_prefill(
     dcfg: DraftConfig,
     total_len: int,
     max_cycles: int,
+    kv_quant: bool = False,
 ) -> LoopState:
     """Per-request prefill; returns a LoopState with the request axis per
     STATE_AXES (leading everywhere except the KV caches, where it sits
     behind the layer axis)."""
     f = partial(
-        _prefill_impl, tcfg=tcfg, dcfg=dcfg, total_len=total_len, max_cycles=max_cycles
+        _prefill_impl, tcfg=tcfg, dcfg=dcfg, total_len=total_len,
+        max_cycles=max_cycles, kv_quant=kv_quant,
     )
     return jax.vmap(f, in_axes=(None, None, 0, 0, None, 0), out_axes=STATE_AXES)(
         t_params, d_params, input_ids, prompt_lens, temperature, keys
@@ -183,7 +185,8 @@ def batched_cycle(
 
 
 jit_batched_prefill = jax.jit(
-    batched_prefill, static_argnames=("tcfg", "dcfg", "total_len", "max_cycles")
+    batched_prefill,
+    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles", "kv_quant"),
 )
 jit_batched_decode = jax.jit(
     batched_decode,
