@@ -134,6 +134,13 @@ def main(argv=None) -> None:
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--prompt-cap", type=int, default=128)
     p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="INT8 weight-only quantization for the in-process engine")
+    p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    p.add_argument("--steps-per-sync", type=int, default=8,
+                   help="decode cycles per device dispatch")
+    p.add_argument("--emulate-tau", type=float, default=None,
+                   help="benchmark-only acceptance override (mean tau)")
     p.add_argument("--report-path", default=None)
     args = p.parse_args(argv)
 
@@ -148,6 +155,11 @@ def main(argv=None) -> None:
         from dflash_tpu.engine.server import EngineHTTPServer
 
         tcfg, dcfg, t_params, d_params = _resolve_models(args)
+        if args.quant == "int8":
+            from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+
+            t_params = quantize_target_params(t_params, tcfg)
+            d_params = quantize_draft_params(d_params, dcfg)
         engine = ContinuousBatchingEngine(
             tcfg, dcfg, t_params, d_params,
             EngineConfig(
@@ -155,6 +167,9 @@ def main(argv=None) -> None:
                 max_new_tokens=args.max_new_tokens,
                 block_size=args.block_size or dcfg.block_size,
                 prompt_cap=args.prompt_cap,
+                kv_quant=args.kv_quant,
+                steps_per_sync=args.steps_per_sync,
+                emulate_tau=args.emulate_tau,
             ),
         )
         server = EngineHTTPServer(

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
-from dflash_tpu.spec.batched import batched_cycle
+from dflash_tpu.spec.batched import batched_cycles
 from dflash_tpu.spec.engine import LoopState, _prefill
 
 
@@ -43,7 +43,15 @@ class EngineConfig:
     stop_token_ids: Tuple[int, ...] = ()
     temperature: float = 0.0
     seed: int = 0
-    kv_quant: bool = False  # int8 KV cache for the target
+    kv_quant: bool = False  # int8 KV cache
+    # Cycles per device dispatch (multi-step scheduling): the host only
+    # retires/admits every steps_per_sync cycles.  Raise it when per-dispatch
+    # latency is high (tunneled TPU); 1 = retire as eagerly as possible.
+    steps_per_sync: int = 8
+    # Benchmark-only: override the accept decision with a deterministic
+    # pattern of mean tau (no trained draft checkpoints reach this
+    # environment; compute per cycle is identical, see bench.py).
+    emulate_tau: Optional[float] = None
 
 
 @dataclass
@@ -113,11 +121,23 @@ class ContinuousBatchingEngine:
         self.completed: Dict[int, Request] = {}
         self.cycle_count = 0
 
+        forced = None
+        if cfg.emulate_tau is not None:
+            rng = np.random.default_rng(0)
+            lo = int(np.floor(cfg.emulate_tau))
+            taus = np.where(
+                rng.random(self.max_cycles) < cfg.emulate_tau - lo, lo + 1, lo
+            )
+            forced = jnp.asarray(
+                np.clip(taus, 1, cfg.block_size).astype(np.int32) - 1
+            )
         self._cycle_fn = jax.jit(
             partial(
-                batched_cycle,
+                batched_cycles,
                 tcfg=tcfg, dcfg=dcfg, block_size=cfg.block_size,
                 stop_token_ids=tuple(cfg.stop_token_ids),
+                n_steps=max(1, cfg.steps_per_sync),
+                forced_acc=forced,
             ),
             donate_argnums=(0,),
         )
@@ -189,8 +209,11 @@ class ContinuousBatchingEngine:
             return 0
 
         temp = jnp.float32(self.cfg.temperature)
-        self._state = self._cycle_fn(self._state, self.t_params, self.d_params, temp)
-        self.cycle_count += 1
+        max_lengths = jnp.asarray(self._lane_max_length, jnp.int32)
+        self._state = self._cycle_fn(
+            self._state, self.t_params, self.d_params, temp, max_lengths
+        )
+        self.cycle_count += max(1, self.cfg.steps_per_sync)
 
         self._retire_finished()
         return n_active

@@ -159,6 +159,63 @@ def batched_decode(
     return jax.lax.while_loop(cond, body, state)
 
 
+def batched_cycles(
+    state: LoopState,
+    t_params,
+    d_params,
+    temperature: jax.Array,
+    max_lengths: jax.Array,  # [R] per-lane prompt_len + max_new_tokens
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    block_size: int,
+    stop_token_ids: Tuple[int, ...],
+    n_steps: int = 1,
+    forced_acc=None,  # optional [max_cycles] shared acceptance override
+) -> LoopState:
+    """``n_steps`` speculative cycles for every active lane in ONE dispatch.
+
+    Multi-step scheduling for the continuous-batching engine: the host
+    syncs (retire/admit) only every ``n_steps`` cycles.  Through a
+    high-latency device tunnel the per-dispatch cost dominates a single
+    ~10 ms cycle, so batching cycles per dispatch is the difference between
+    13 and >100 tok/s at concurrency 1 (docs/RESULTS.md).  Lanes that finish
+    mid-window freeze their visible state exactly as in batched_decode;
+    their caches advance harmlessly.
+    """
+    R = max_lengths.shape[0]
+    f = partial(
+        _cycle, tcfg=tcfg, dcfg=dcfg, block_size=block_size,
+        stop_token_ids=stop_token_ids, forced_acc=forced_acc,
+    )
+    vcycle = jax.vmap(
+        lambda st: f(st, t_params, d_params, temperature),
+        in_axes=(STATE_AXES,), out_axes=STATE_AXES,
+    )
+
+    def body(_, st):
+        new = vcycle(st)
+        active = (st.start < max_lengths) & (~st.done)
+
+        def sel(old, new_):
+            a = active.reshape((R,) + (1,) * (old.ndim - 1))
+            return jnp.where(a, new_, old)
+
+        return st._replace(
+            output_ids=sel(st.output_ids, new.output_ids),
+            start=jnp.where(active, new.start, st.start),
+            done=jnp.where(active, new.done, st.done),
+            cycle_idx=jnp.where(active, new.cycle_idx, st.cycle_idx),
+            acc_trace=sel(st.acc_trace, new.acc_trace),
+            key=sel(st.key, new.key),
+            t_kv=new.t_kv,
+            d_kv=new.d_kv,
+            features=new.features,
+        )
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
+
+
 def batched_cycle(
     state: LoopState,
     t_params,
