@@ -144,3 +144,52 @@ def test_logits_match_transformers_llama(tmp_path):
     )
     our_logits = np.asarray(qwen3.lm_head(params, res.hidden))
     np.testing.assert_allclose(our_logits, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_logits_match_transformers_qwen3_moe(tmp_path):
+    """Qwen3-MoE path: softmax router, top-k, norm_topk_prob, expert MLPs
+    (Qwen3-Coder-30B-A3B semantics, reference README.md:60-68 target)."""
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg_hf = Qwen3MoeConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        num_experts=8,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = Qwen3MoeForCausalLM(cfg_hf).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = model_config_from_hf(tmp_path)
+    assert cfg.is_moe and cfg.num_experts == 8
+    params = load_target_params(tmp_path, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 10))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.float().numpy()
+
+    total_len = 16
+    kv = init_kv_cache(cfg, 1, total_len, jnp.float32)
+    positions = jnp.arange(10, dtype=jnp.int32)[None, :]
+    mask = qwen3.causal_mask(positions[0], total_len)
+    res = qwen3.forward(
+        params, cfg, qwen3.embed(params, jnp.asarray(ids)), positions, kv,
+        jnp.zeros((), jnp.int32), mask,
+    )
+    our_logits = np.asarray(qwen3.lm_head(params, res.hidden))
+    np.testing.assert_allclose(our_logits, hf_logits, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(our_logits.argmax(-1), hf_logits.argmax(-1))
