@@ -24,6 +24,26 @@ import jax.numpy as jnp
 # and DFLASH_MM=pallas opts into the hand kernel (kernels/matmul_q.py).
 _FORCE_PALLAS_MM = os.environ.get("DFLASH_MM", "").lower() == "pallas"
 
+# W8A8: dynamic per-token symmetric int8 activation quantization feeding an
+# int8 x int8 MXU matmul (int32 accumulate).  Single-stream decode is
+# weight-bandwidth-bound and gains nothing, but at batched row counts
+# (lanes x B >= ~128 rows) the bf16 matmuls go compute-bound on v5e and the
+# int8 MXU path doubles matmul throughput.  Opt-in: the quantized activations
+# change logits slightly, so acceptance parity vs bf16 activations must be
+# validated per checkpoint (weights are already int8 in both modes).
+_W8A8 = os.environ.get("DFLASH_W8A8", "") == "1"
+
+
+def set_w8a8(enabled: bool) -> None:
+    """Toggle the W8A8 activation-quant path (tests; takes effect on next
+    trace — call ``jax.clear_caches()`` if flipping under an existing jit)."""
+    global _W8A8
+    _W8A8 = bool(enabled)
+
+
+def w8a8_enabled() -> bool:
+    return _W8A8
+
 
 @jax.tree_util.register_pytree_node_class
 class QTensor:
@@ -92,6 +112,17 @@ def linear(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
             from dflash_tpu.kernels.matmul_q import matmul_int8
 
             out = matmul_int8(x2d, w.q, w.scale)
+        elif _W8A8:
+            # Dynamic per-row activation quant -> int8 x int8 MXU matmul with
+            # int32 accumulation; both scales applied to the f32 output.
+            xf = x2d.astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # [S, 1]
+            xs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+            xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                xq, w.q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * xs * w.scale
         else:
             # Scale on the OUTPUT, not the weight: int8 -> bf16 is exact (no
             # rounding), the bare convert fuses into the matmul instead of

@@ -1,0 +1,65 @@
+"""Benchmark CLIs emit the reference's canonical metric lines.
+
+The bash sweep launchers grep these exact line prefixes out of stdout
+(reference run_block_sweep.sh:199-256), so the printed vocabulary is part of
+the API surface.
+"""
+
+import json
+
+import pytest
+
+
+def test_cli_vanilla_metric_lines(capsys, tmp_path):
+    from dflash_tpu.bench.cli import main
+
+    out_path = tmp_path / "outputs.jsonl"
+    main([
+        "--model-name-or-path", "tiny", "--synthetic-data",
+        "--max-samples", "1", "--max-new-tokens", "16", "--prompt-cap", "128",
+        "--block-size", "4",
+        "--save-outputs-path", str(out_path),
+    ])
+    out = capsys.readouterr().out
+    for prefix in (
+        "Baseline TPOT:", "Speculative TPOT:", "Speculative tokens_per_sec:",
+        "Decoding speedup:", "Average Acceptance length:",
+        "Acceptance length histogram:", "Hardware Device:",
+    ):
+        assert prefix in out, f"missing metric line {prefix!r}"
+    rows = [json.loads(l) for l in out_path.read_text().splitlines()]
+    assert rows and rows[0]["speculative"]["num_output_tokens"] > 0
+
+
+def test_multi_block_shared_baseline(capsys, tmp_path):
+    """Reference benchmark_multi_block.py:305-337 semantics: one shared bs=1
+    baseline, per-block [bs=N] metric lines, summary CSV."""
+    from dflash_tpu.bench.multi_block import main
+
+    csv_path = tmp_path / "summary.csv"
+    main([
+        "--model-name-or-path", "tiny", "--synthetic-data",
+        "--max-samples", "1", "--max-new-tokens", "16", "--prompt-cap", "128",
+        "--block-sizes", "4,8,1",  # bs=1 must be filtered (baseline covers it)
+        "--save-summary-path", str(csv_path),
+    ])
+    out = capsys.readouterr().out
+    assert "Baseline TPOT:" in out
+    for bs in (4, 8):
+        assert f"[bs={bs}] Speculative TPOT:" in out
+        assert f"[bs={bs}] Decoding speedup:" in out
+        assert f"[bs={bs}] Average Acceptance length:" in out
+    assert "[bs=1]" not in out
+    lines = csv_path.read_text().splitlines()
+    assert lines[0].startswith("dataset,max_samples,block_size,")
+    assert len(lines) == 3  # header + one row per block size
+
+
+def test_multi_block_parse_block_sizes():
+    from dflash_tpu.bench.multi_block import parse_block_sizes
+
+    assert parse_block_sizes("8, 12,16,8") == [8, 12, 16]
+    with pytest.raises(ValueError):
+        parse_block_sizes("0,4")
+    with pytest.raises(ValueError):
+        parse_block_sizes(",")

@@ -79,6 +79,55 @@ def test_spec_equals_ar_with_quantized_params():
     np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
 
 
+def test_w8a8_linear_close_to_dense():
+    """int8-activation matmul stays within quant error of the dense result."""
+    from dflash_tpu.ops import linear as linmod
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    dense = np.asarray(linear(x, w))
+    linmod.set_w8a8(True)
+    try:
+        jax.clear_caches()
+        q = np.asarray(linear(x, quantize_weight(w)))
+    finally:
+        linmod.set_w8a8(False)
+        jax.clear_caches()
+    rel = np.abs(dense - q) / (np.abs(dense).max() + 1e-9)
+    assert rel.max() < 0.03
+
+
+def test_spec_equals_ar_with_w8a8():
+    """Self-parity oracle: spec == AR when BOTH run the W8A8 path (activation
+    quant perturbs logits identically for draft/verify, so the cumprod accept
+    rule still reduces to AR at temperature 0)."""
+    from dflash_tpu.ops import linear as linmod
+
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=2)
+    t_params = quantize_target_params(
+        qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32), tcfg, pad_to=64
+    )
+    d_params = quantize_draft_params(
+        dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32), dcfg, pad_to=64
+    )
+    linmod.set_w8a8(True)
+    try:
+        jax.clear_caches()
+        engine = SpecEngine(
+            tcfg, dcfg, t_params, d_params, max_new_tokens=16,
+            block_size=8, prompt_cap=32, prompt_bucket=16,
+        )
+        prompt = np.random.default_rng(2).integers(0, tcfg.vocab_size - 2, size=(1, 5))
+        spec = engine.generate(prompt, temperature=0.0)
+        ar = engine.ar_generate(prompt, temperature=0.0)
+    finally:
+        linmod.set_w8a8(False)
+        jax.clear_caches()
+    np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
+
+
 def test_pallas_matmul_int8_matches_reference():
     """Kernel numerics vs the XLA dequant einsum (runs in interpret mode on CPU)."""
     from dflash_tpu.kernels.matmul_q import _kernel
