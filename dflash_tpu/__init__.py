@@ -14,11 +14,15 @@ fixed-shape KV caches whose "crop" is an O(1) length-frontier update.
 """
 
 from dflash_tpu.core.config import ModelConfig, DraftConfig, build_target_layer_ids
+from dflash_tpu.spec import SpecEngine, GenerationResult, spec_generate
 
 __all__ = [
     "ModelConfig",
     "DraftConfig",
     "build_target_layer_ids",
+    "SpecEngine",
+    "GenerationResult",
+    "spec_generate",
 ]
 
 __version__ = "0.1.0"

@@ -1,3 +1,15 @@
-from dflash_tpu.engine.batching import ContinuousBatchingEngine, EngineConfig, Request
+from dflash_tpu.engine.batching import (
+    BucketedEngine,
+    BucketSpec,
+    ContinuousBatchingEngine,
+    EngineConfig,
+    Request,
+)
 
-__all__ = ["ContinuousBatchingEngine", "EngineConfig", "Request"]
+__all__ = [
+    "BucketedEngine",
+    "BucketSpec",
+    "ContinuousBatchingEngine",
+    "EngineConfig",
+    "Request",
+]

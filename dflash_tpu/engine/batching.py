@@ -335,3 +335,101 @@ class ContinuousBatchingEngine:
             if any(r is not None for r in self._lane_req):
                 raise RuntimeError("cannot flush with active requests")
             self._state = self._empty_state(self.cfg.num_lanes)
+
+
+# ---------------------------------------------------------------------------
+# Bucket ladder: per-request total_len right-sizing
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """One rung of the ladder: lanes sized for requests up to
+    prompt_cap + max_new_tokens tokens."""
+
+    prompt_cap: int
+    max_new_tokens: int
+    num_lanes: int
+
+
+class BucketedEngine:
+    """A ladder of engine pools with tightly sized token/KV buffers.
+
+    The measured-best answer to long-context decode traffic on TPU is NOT
+    bounding cache reads (both the bucketed-read and Pallas frontier-bounded
+    attention lost to XLA's masked full-buffer read, docs/RESULTS.md) but
+    sizing ``total_len`` itself per request.  A single engine must size every
+    lane for the worst case; the ladder routes each request to the smallest
+    pool whose (prompt_cap, max_new_tokens) fits it, so short requests decode
+    against short KV buffers.  All pools alias the same parameter pytrees —
+    the only extra memory is the per-pool lane state.
+    """
+
+    def __init__(self, tcfg: ModelConfig, dcfg: DraftConfig, t_params, d_params,
+                 cfg: EngineConfig, buckets: List[BucketSpec]):
+        import dataclasses
+
+        if not buckets:
+            raise ValueError("need at least one BucketSpec")
+        self.buckets = sorted(
+            buckets, key=lambda b: b.prompt_cap + b.max_new_tokens
+        )
+        self.pools = [
+            ContinuousBatchingEngine(
+                tcfg, dcfg, t_params, d_params,
+                dataclasses.replace(
+                    cfg, num_lanes=b.num_lanes, prompt_cap=b.prompt_cap,
+                    max_new_tokens=b.max_new_tokens,
+                ),
+            )
+            for b in self.buckets
+        ]
+        # one request-id space across pools (completed dict merges by rid)
+        shared_rid = itertools.count()
+        for p in self.pools:
+            p._rid = shared_rid
+
+    def _route(self, prompt_len: int, max_new: int) -> ContinuousBatchingEngine:
+        for b, pool in zip(self.buckets, self.pools):
+            if prompt_len <= b.prompt_cap and max_new <= b.max_new_tokens:
+                return pool
+        raise ValueError(
+            f"request (prompt {prompt_len}, max_new {max_new}) exceeds every "
+            f"bucket; largest is {self.buckets[-1]}"
+        )
+
+    def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
+               temperature: Optional[float] = None) -> Request:
+        ids = np.asarray(input_ids).reshape(-1)
+        biggest = self.pools[-1]
+        max_new = min(
+            max_new_tokens or biggest.cfg.max_new_tokens,
+            biggest.cfg.max_new_tokens,
+        )
+        pool = self._route(ids.shape[0], max_new)
+        return pool.submit(ids, max_new_tokens=max_new, temperature=temperature)
+
+    def step(self) -> int:
+        return sum(p.step() for p in self.pools)
+
+    def run_until_drained(self, max_steps: int = 100_000) -> None:
+        for p in self.pools:
+            p.run_until_drained(max_steps)
+
+    def start(self) -> None:
+        for p in self.pools:
+            p.start()
+
+    def stop(self) -> None:
+        for p in self.pools:
+            p.stop()
+
+    def flush(self) -> None:
+        for p in self.pools:
+            p.flush()
+
+    @property
+    def completed(self) -> Dict[int, Request]:
+        out: Dict[int, Request] = {}
+        for p in self.pools:
+            out.update(p.completed)
+        return out

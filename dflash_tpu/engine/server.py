@@ -145,11 +145,15 @@ def main(argv=None) -> None:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--quant", default="", choices=["", "int8"])
     p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    p.add_argument("--buckets", default=None,
+                   help="total_len ladder: comma list of prompt_cap:max_new:lanes "
+                        "rungs, e.g. 256:128:8,1024:512:4 — short requests decode "
+                        "against tightly sized KV buffers (BucketedEngine)")
     args = p.parse_args(argv)
 
     from dflash_tpu.bench.cli import _resolve_models
     from dflash_tpu.bench.tokenizer import resolve_tokenizer
-    from dflash_tpu.engine.batching import EngineConfig
+    from dflash_tpu.engine.batching import BucketedEngine, BucketSpec, EngineConfig
     from pathlib import Path
 
     tcfg, dcfg, t_params, d_params = _resolve_models(args)
@@ -162,17 +166,22 @@ def main(argv=None) -> None:
         args.model_name_or_path if Path(args.model_name_or_path).exists() else None,
         tcfg.vocab_size,
     )
-    engine = ContinuousBatchingEngine(
-        tcfg, dcfg, t_params, d_params,
-        EngineConfig(
-            num_lanes=args.num_lanes,
-            max_new_tokens=args.max_new_tokens,
-            block_size=args.block_size or dcfg.block_size,
-            prompt_cap=args.prompt_cap,
-            stop_token_ids=(tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None else (),
-            kv_quant=args.kv_quant,
-        ),
+    cfg = EngineConfig(
+        num_lanes=args.num_lanes,
+        max_new_tokens=args.max_new_tokens,
+        block_size=args.block_size or dcfg.block_size,
+        prompt_cap=args.prompt_cap,
+        stop_token_ids=(tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None else (),
+        kv_quant=args.kv_quant,
     )
+    if args.buckets:
+        rungs = [
+            BucketSpec(*(int(x) for x in rung.split(":")))
+            for rung in args.buckets.split(",")
+        ]
+        engine = BucketedEngine(tcfg, dcfg, t_params, d_params, cfg, rungs)
+    else:
+        engine = ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg)
     server = EngineHTTPServer(engine, args.host, args.port, tokenizer)
     server.start()
     print(f"serving on http://{server.host}:{server.port}", flush=True)

@@ -266,7 +266,14 @@ def forward(
     # tap_slots[l] = index of layer l in tap_ids, or -1.
     slot_of = {l: i for i, l in enumerate(tap_ids)}
     tap_slots = jnp.asarray([slot_of.get(l, -1) for l in range(L)], jnp.int32)
-    taps0 = jnp.zeros((max(n_taps, 1), B, S, H), embeds.dtype)
+    # One [B, S, H] carry per tap, selected with a flat where — a single
+    # [n_taps, B, S, H] buffer updated via DUS+where forces a hostile layout
+    # and transposes (profiled at ~10% of a 16-lane batched cycle).
+    # NB: carrying the KV stack instead of threading it as scan xs/ys was
+    # measured WORSE under vmap: loop-carry batching moves the lane axis to
+    # position 0, transposing the whole multi-GB stack at the jit boundary
+    # every cycle (docs/RESULTS.md).
+    taps0 = tuple(jnp.zeros((B, S, H), embeds.dtype) for _ in range(n_taps))
 
     def layer_step(carry, xs):
         hidden, taps = carry
@@ -300,18 +307,19 @@ def forward(
         mlp_out = _moe_mlp(p, cfg, h_norm2, mesh) if cfg.is_moe else _dense_mlp(p, h_norm2)
         hidden = hidden + mlp_out
 
-        if n_taps > 0:
-            updated = jax.lax.dynamic_update_index_in_dim(
-                taps, hidden, jnp.maximum(slot, 0), 0
-            )
-            taps = jnp.where(slot >= 0, updated, taps)
+        taps = tuple(
+            jnp.where(slot == i, hidden, t) for i, t in enumerate(taps)
+        )
         return (hidden, taps), cache_layer
 
     (hidden, taps), new_kv = jax.lax.scan(
         layer_step, (embeds, taps0), (lp, kv, tap_slots)
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    taps_concat = jnp.moveaxis(taps, 0, -2).reshape(B, S, max(n_taps, 1) * H)
+    if n_taps > 0:
+        taps_concat = jnp.concatenate(taps, axis=-1)
+    else:
+        taps_concat = jnp.zeros((B, S, H), embeds.dtype)
     return ForwardResult(hidden=hidden, taps=taps_concat, kv=new_kv)
 
 
@@ -355,7 +363,7 @@ def forward_prefill(
     n_taps = len(tap_ids)
     slot_of = {l: i for i, l in enumerate(tap_ids)}
     tap_slots = jnp.asarray([slot_of.get(l, -1) for l in range(L)], jnp.int32)
-    taps0 = jnp.zeros((max(n_taps, 1), B, S, H), embeds.dtype)
+    taps0 = tuple(jnp.zeros((B, S, H), embeds.dtype) for _ in range(n_taps))
 
     def layer_step(carry, xs):
         hidden, taps = carry
@@ -384,18 +392,19 @@ def forward_prefill(
         mlp_out = _moe_mlp(p, cfg, h_norm2, mesh) if cfg.is_moe else _dense_mlp(p, h_norm2)
         hidden = hidden + mlp_out
 
-        if n_taps > 0:
-            updated = jax.lax.dynamic_update_index_in_dim(
-                taps, hidden, jnp.maximum(slot, 0), 0
-            )
-            taps = jnp.where(slot >= 0, updated, taps)
+        taps = tuple(
+            jnp.where(slot == i, hidden, t) for i, t in enumerate(taps)
+        )
         return (hidden, taps), (k, v)
 
     (hidden, taps), (k_rows, v_rows) = jax.lax.scan(
         layer_step, (embeds, taps0), (lp, tap_slots)
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    taps_concat = jnp.moveaxis(taps, 0, -2).reshape(B, S, max(n_taps, 1) * H)
+    if n_taps > 0:
+        taps_concat = jnp.concatenate(taps, axis=-1)
+    else:
+        taps_concat = jnp.zeros((B, S, H), embeds.dtype)
     return PrefillResult(hidden=hidden, taps=taps_concat, k=k_rows, v=v_rows)
 
 
@@ -446,7 +455,7 @@ def forward_block_candidates(
     n_taps = len(tap_ids)
     slot_of = {l: i for i, l in enumerate(tap_ids)}
     tap_slots = jnp.asarray([slot_of.get(l, -1) for l in range(L)], jnp.int32)
-    taps0 = jnp.zeros((max(n_taps, 1), C, B, H), embeds.dtype)
+    taps0 = tuple(jnp.zeros((C, B, H), embeds.dtype) for _ in range(n_taps))
 
     def layer_step(carry, xs):
         hidden, taps = carry
@@ -484,18 +493,19 @@ def forward_block_candidates(
         mlp_out = _moe_mlp(p, cfg, h_norm2, mesh) if cfg.is_moe else _dense_mlp(p, h_norm2)
         hidden = hidden + mlp_out
 
-        if n_taps > 0:
-            updated = jax.lax.dynamic_update_index_in_dim(
-                taps, hidden, jnp.maximum(slot, 0), 0
-            )
-            taps = jnp.where(slot >= 0, updated, taps)
+        taps = tuple(
+            jnp.where(slot == i, hidden, t) for i, t in enumerate(taps)
+        )
         return (hidden, taps), (k, v)
 
     (hidden, taps), (blk_k, blk_v) = jax.lax.scan(
         layer_step, (embeds, taps0), (lp, ctx_kv, tap_slots)
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    taps_concat = jnp.moveaxis(taps, 0, -2).reshape(C, B, max(n_taps, 1) * H)
+    if n_taps > 0:
+        taps_concat = jnp.concatenate(taps, axis=-1)
+    else:
+        taps_concat = jnp.zeros((C, B, H), embeds.dtype)
     return CandidateForwardResult(hidden=hidden, taps=taps_concat, blk_k=blk_k, blk_v=blk_v)
 
 

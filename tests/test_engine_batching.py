@@ -138,3 +138,75 @@ def test_http_server_generate_and_flush(models):
         assert isinstance(batch, list) and len(batch) == 2
     finally:
         server.stop()
+
+
+def test_bucketed_engine_routes_and_agrees(models):
+    """The total_len bucket ladder must route each request to the smallest
+    fitting pool and produce the same tokens a single big engine produces."""
+    from dflash_tpu.engine.batching import BucketedEngine, BucketSpec
+
+    tcfg, dcfg, t_params, d_params = models
+    cfg = EngineConfig(
+        num_lanes=2, max_new_tokens=12, block_size=4,
+        prompt_cap=32, prompt_bucket=16, steps_per_sync=1,
+    )
+    ladder = BucketedEngine(
+        tcfg, dcfg, t_params, d_params, cfg,
+        [BucketSpec(16, 8, 2), BucketSpec(32, 12, 2)],
+    )
+    short = np.asarray([5, 6, 7, 8])
+    long = np.asarray(list(range(3, 23)))
+    r_short = ladder.submit(short, max_new_tokens=8)
+    r_long = ladder.submit(long, max_new_tokens=12)
+    # routing: short fits the small bucket, long only the big one
+    assert ladder.pools[0]._lane_req[0] is not None or not ladder.pools[0]._queue.empty()
+    ladder.run_until_drained()
+    assert r_short.error is None and r_long.error is None
+    assert r_short.rid != r_long.rid
+    assert set(ladder.completed) == {r_short.rid, r_long.rid}
+
+    big = make_engine(models, num_lanes=2)
+    ref_short = big.submit(short, max_new_tokens=8)
+    ref_long = big.submit(long, max_new_tokens=12)
+    big.run_until_drained()
+    np.testing.assert_array_equal(r_short.output_ids, ref_short.output_ids)
+    np.testing.assert_array_equal(r_long.output_ids, ref_long.output_ids)
+
+
+def test_bucketed_engine_rejects_oversize(models):
+    from dflash_tpu.engine.batching import BucketedEngine, BucketSpec
+
+    tcfg, dcfg, t_params, d_params = models
+    cfg = EngineConfig(num_lanes=1, max_new_tokens=8, block_size=4,
+                       prompt_cap=16, prompt_bucket=16)
+    ladder = BucketedEngine(tcfg, dcfg, t_params, d_params, cfg,
+                            [BucketSpec(16, 8, 1)])
+    with pytest.raises(ValueError):
+        ladder.submit(np.arange(1, 30))
+
+
+def test_http_server_with_bucket_ladder(models):
+    from dflash_tpu.engine.batching import BucketedEngine, BucketSpec
+    from dflash_tpu.engine.server import EngineHTTPServer
+
+    tcfg, dcfg, t_params, d_params = models
+    cfg = EngineConfig(num_lanes=2, max_new_tokens=12, block_size=4,
+                       prompt_cap=32, prompt_bucket=16)
+    ladder = BucketedEngine(tcfg, dcfg, t_params, d_params, cfg,
+                            [BucketSpec(16, 8, 1), BucketSpec(32, 12, 1)])
+    server = EngineHTTPServer(ladder, port=0)
+    server.start()
+    try:
+        url = f"http://{server.host}:{server.port}/generate"
+        body = json.dumps({
+            "input_ids": [5, 6, 7], "sampling_params": {"max_new_tokens": 6},
+        }).encode()
+        with urllib.request.urlopen(
+            urllib.request.Request(url, body, {"Content-Type": "application/json"}),
+            timeout=120,
+        ) as resp:
+            out = json.loads(resp.read())
+        assert out["meta_info"]["completion_tokens"] >= 1
+        assert out["meta_info"]["spec_verify_ct"] >= 1
+    finally:
+        server.stop()

@@ -109,3 +109,29 @@ def test_prompt_bucketing_does_not_change_output():
         )
         outs.append(e.generate(prompt, temperature=0.0).output_ids)
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_spec_generate_api_matches_engine():
+    """The one-call user API (reference model/dflash.py:192-277 parity
+    surface) must produce the same tokens as driving SpecEngine directly."""
+    import dflash_tpu
+    from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+    from dflash_tpu.models import dflash_draft, qwen3
+    from dflash_tpu.spec import SpecEngine
+
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    prompt = np.random.default_rng(5).integers(0, tcfg.vocab_size - 2, size=(1, 7))
+
+    res = dflash_tpu.spec_generate(
+        t_params, d_params, tcfg, dcfg, prompt,
+        max_new_tokens=16, stop_token_ids=(), temperature=0.0,
+    )
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=16,
+        prompt_cap=128, prompt_bucket=128,
+    )
+    ref = engine.generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(res.output_ids, ref.output_ids)
