@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--forced-tau", type=float, default=None,
                    help="Emulate a given mean acceptance length (benchmark-only; "
                         "for random-weight perf runs without trained drafts).")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans: fail loudly on the first NaN (the "
+                        "TPU-side sanitizer; the reference's determinism flags "
+                        "benchmark.py:377-378 have no NaN story).")
     # candidate mode flags (reference benchmark_candidate_solutions.py:744-824)
     p.add_argument("--candidate-mode", type=str, default="fixed_prefix_rank",
                    choices=["fixed_prefix_rank", "uncertainty_sparse_rank", "branch_beam"])
@@ -146,6 +150,10 @@ def main(argv=None) -> None:
             jax.config.update("jax_platforms", plat)
         except RuntimeError:
             pass
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from dflash_tpu.bench.metrics import mean_tau, summarize_mode, summarize_profile, tau_histogram
     from dflash_tpu.bench.tokenizer import resolve_tokenizer
