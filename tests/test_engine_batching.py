@@ -210,3 +210,31 @@ def test_http_server_with_bucket_ladder(models):
         assert out["meta_info"]["spec_verify_ct"] >= 1
     finally:
         server.stop()
+
+
+def test_adaptive_window_shrinks_when_queued(models):
+    """With a request queued and a lane near its max_length, the next
+    dispatch window must shrink toward the predicted finish."""
+    eng = make_engine(models, num_lanes=1, steps_per_sync=8, adaptive_window=True)
+    assert sorted(eng._cycle_fns) == [1, 2, 4, 8]
+    r1 = eng.submit(np.asarray([5, 6, 7]), max_new_tokens=12)
+    r2 = eng.submit(np.asarray([9, 10, 11]), max_new_tokens=12)  # queued
+    eng.step()  # admits r1; queue non-empty -> adaptive path exercised
+    windows = []
+    while not (r1.done_event.is_set() and r2.done_event.is_set()):
+        before = eng.cycle_count
+        if eng.step() == 0:
+            break
+        windows.append(eng.cycle_count - before)
+    eng.run_until_drained()
+    assert r1.output_ids is not None and r2.output_ids is not None
+    # at least one dispatch used a sub-maximal window
+    assert windows and min(windows) < 8
+
+
+def test_adaptive_window_uses_max_when_idle_queue(models):
+    eng = make_engine(models, num_lanes=2, steps_per_sync=8, adaptive_window=True)
+    eng.submit(np.asarray([5, 6, 7]), max_new_tokens=12)
+    before = eng.cycle_count
+    eng.step()
+    assert eng.cycle_count - before == 8  # empty queue -> full window
