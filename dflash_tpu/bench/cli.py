@@ -150,6 +150,9 @@ def main(argv=None) -> None:
             jax.config.update("jax_platforms", plat)
         except RuntimeError:
             pass
+    from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     if args.debug_nans:
         import jax
 

@@ -73,6 +73,9 @@ def main(argv=None) -> None:
         except RuntimeError:
             pass
 
+    from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     from dflash_tpu.bench.metrics import mean_tau, summarize_mode, tau_histogram
     from dflash_tpu.bench.tokenizer import resolve_tokenizer
     from dflash_tpu.data import load_and_process_dataset

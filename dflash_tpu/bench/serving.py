@@ -121,6 +121,9 @@ def _honor_jax_platforms_env() -> None:
 
 def main(argv=None) -> None:
     _honor_jax_platforms_env()
+    from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     p = argparse.ArgumentParser(description="Serving concurrency benchmark")
     p.add_argument("--url", default=None,
                    help="Benchmark a running server; default launches in-process.")

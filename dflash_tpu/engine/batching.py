@@ -56,6 +56,13 @@ class EngineConfig:
     # idle cycles they save (conc=32 dropped 1600 -> 897 tok/s with this on;
     # docs/RESULTS.md).  Worth enabling on low-latency local runtimes.
     adaptive_window: bool = False
+    # Batch same-temperature admission bursts through one vmapped prefill +
+    # one multi-lane scatter.  Measured OFF-by-default at bench scales: group
+    # sizes vary per retire wave, so each new (k, bucket) pair compiles, and
+    # the pow2-padded group prefill computes rows it throws away (conc=32:
+    # 1431 vs 1600 tok/s).  Wins only for steady same-shape admission floods
+    # with a warm compile cache.
+    batch_admission: bool = False
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
     # environment; compute per cycle is identical, see bench.py).
@@ -85,8 +92,7 @@ def _select_lane(batched, lane: jax.Array, single, axis: int = 0):
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _admit(batched_state: LoopState, lane: jax.Array, single_state: LoopState) -> LoopState:
+def _admit_impl(batched_state: LoopState, lane: jax.Array, single_state: LoopState) -> LoopState:
     # Lane axis placement per spec.batched.STATE_AXES: KV caches carry the
     # lane axis at position 1 (behind layers), everything else leading.
     return batched_state._replace(
@@ -100,6 +106,37 @@ def _admit(batched_state: LoopState, lane: jax.Array, single_state: LoopState) -
         d_kv=_select_lane(batched_state.d_kv, lane, single_state.d_kv, axis=1),
         features=_select_lane(batched_state.features, lane, single_state.features),
     )
+
+
+_admit = jax.jit(_admit_impl, donate_argnums=(0,))
+
+
+def _lane_view(group: LoopState, j: int) -> LoopState:
+    """Row ``j`` of a batched LoopState, lane axis dropped (STATE_AXES
+    placement: KV caches at axis 1, everything else leading)."""
+    ix = lambda axis: (lambda x: jax.lax.index_in_dim(x, j, axis, keepdims=False))
+    return LoopState(
+        output_ids=ix(0)(group.output_ids),
+        start=ix(0)(group.start),
+        done=ix(0)(group.done),
+        cycle_idx=ix(0)(group.cycle_idx),
+        acc_trace=ix(0)(group.acc_trace),
+        key=ix(0)(group.key),
+        t_kv=jax.tree.map(ix(1), group.t_kv),
+        d_kv=jax.tree.map(ix(1), group.d_kv),
+        features=ix(0)(group.features),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("k",))
+def _admit_many(batched_state: LoopState, lanes: jax.Array,
+                group_state: LoopState, *, k: int) -> LoopState:
+    """Write rows 0..k-1 of a freshly prefilled group into lanes[0..k-1] —
+    one dispatch for the whole admission burst."""
+    st = batched_state
+    for j in range(k):
+        st = _admit_impl(st, lanes[j], _lane_view(group_state, j))
+    return st
 
 
 class ContinuousBatchingEngine:
@@ -265,24 +302,88 @@ class ContinuousBatchingEngine:
         return self._max_window
 
     def _admit_pending(self) -> None:
-        for lane in range(self.cfg.num_lanes):
-            if self._lane_req[lane] is not None:
-                continue
+        free = [l for l in range(self.cfg.num_lanes) if self._lane_req[l] is None]
+        reqs: List[Request] = []
+        while len(reqs) < len(free):
             try:
-                req = self._queue.get_nowait()
+                reqs.append(self._queue.get_nowait())
             except queue.Empty:
                 break
+        if not reqs:
+            return
+        # Admission bursts (startup, post-retire) run each group of
+        # same-temperature requests through ONE vmapped prefill dispatch +
+        # ONE multi-lane admit dispatch instead of 2 dispatches per request.
+        i = 0
+        while i < len(reqs):
+            group = [reqs[i]]
+            while (
+                self.cfg.batch_admission
+                and i + len(group) < len(reqs)
+                and reqs[i + len(group)].temperature == group[0].temperature
+                and len(group) < len(free)
+            ):
+                group.append(reqs[i + len(group)])
+            lanes = free[:len(group)]
+            free = free[len(group):]
             # A bad request (e.g. malformed ids tripping a device error during
             # its prefill) must not kill the other lanes: surface the failure
             # on the request itself and keep serving (SURVEY §5 failure row —
             # the reference only has sweep-level CONTINUE_ON_ERROR).
             try:
-                self._admit_request(lane, req)
-            except Exception as e:  # noqa: BLE001 — isolate per-request faults
-                req.error = f"{type(e).__name__}: {e}"
-                req.meta_info = {"error": req.error}
-                self.completed[req.rid] = req
-                req.done_event.set()
+                if len(group) == 1:
+                    self._admit_request(lanes[0], group[0])
+                else:
+                    self._admit_group(lanes, group)
+            except Exception:  # noqa: BLE001 — isolate per-request faults
+                for lane, req in zip(lanes, group):
+                    try:
+                        self._admit_request(lane, req)
+                    except Exception as e:  # noqa: BLE001
+                        req.error = f"{type(e).__name__}: {e}"
+                        req.meta_info = {"error": req.error}
+                        self.completed[req.rid] = req
+                        req.done_event.set()
+            i += len(group)
+
+    def _admit_group(self, lanes: List[int], reqs: List[Request]) -> None:
+        """Prefill ``k`` same-temperature requests in ONE vmapped dispatch and
+        scatter them into their lanes with one more; group sizes are bucketed
+        to powers of two so the compile count stays logarithmic."""
+        from dflash_tpu.spec.batched import jit_batched_prefill
+
+        k = len(reqs)
+        R = 1 << (k - 1).bit_length()  # pow2 bucket; padded rows are dropped
+        Pmax = max(len(r.input_ids) for r in reqs)
+        bucket = min(
+            self.cfg.prompt_cap,
+            ((max(Pmax, 1) + self.cfg.prompt_bucket - 1) // self.cfg.prompt_bucket)
+            * self.cfg.prompt_bucket,
+        )
+        padded = np.zeros((R, 1, bucket), np.int32)
+        plens = np.ones((R,), np.int32)
+        rids = np.zeros((R,), np.int64)
+        for j, req in enumerate(reqs):
+            padded[j, 0, : len(req.input_ids)] = req.input_ids
+            plens[j] = len(req.input_ids)
+            rids[j] = req.rid
+        base_key = jax.random.PRNGKey(self.cfg.seed)
+        keys = jax.vmap(lambda r: jax.random.fold_in(base_key, r))(
+            jnp.asarray(rids, jnp.uint32)
+        )
+        group = jit_batched_prefill(
+            self.t_params, self.d_params, jnp.asarray(padded), jnp.asarray(plens),
+            jnp.float32(reqs[0].temperature), keys,
+            tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
+            max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
+        )
+        self._state = _admit_many(
+            self._state, jnp.asarray(lanes, jnp.int32), group, k=k
+        )
+        for lane, req in zip(lanes, reqs):
+            self._lane_req[lane] = req
+            self._lane_prompt_len[lane] = len(req.input_ids)
+            self._lane_max_length[lane] = len(req.input_ids) + req.max_new_tokens
 
     def _admit_request(self, lane: int, req: Request) -> None:
         P = len(req.input_ids)

@@ -133,6 +133,9 @@ def main(argv=None) -> None:
         except RuntimeError:
             pass
 
+    from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--model-name-or-path", default="tiny")
     p.add_argument("--draft-name-or-path", default="auto:1")

@@ -42,12 +42,16 @@ case "$MODE" in
       --dynamic-block-sizes 8,12,16 --scheduler-mode adl_ewma ;;
   block_sweep)
     exec scripts/run_block_sweep.sh ;;
+  multi_block)
+    # several block sizes, ONE process / shared model load
+    python -m dflash_tpu.bench.multi_block "${COMMON[@]}" \
+      --block-sizes "${BLOCK_SIZES:-8,12,16}" ;;
   fixed_prefix_sweep)
     exec scripts/run_fixed_prefix_sweep.sh ;;
   *)
     echo "unknown MODE: $MODE" >&2
     echo "modes: baseline_bs1 vanilla_bs16 fixed_prefix_naive fixed_prefix_adaptive" >&2
     echo "       sparse_conservative sparse_aggressive dynamic_ewma dynamic_adl" >&2
-    echo "       block_sweep fixed_prefix_sweep" >&2
+    echo "       block_sweep multi_block fixed_prefix_sweep" >&2
     exit 2 ;;
 esac

@@ -238,3 +238,25 @@ def test_adaptive_window_uses_max_when_idle_queue(models):
     before = eng.cycle_count
     eng.step()
     assert eng.cycle_count - before == 8  # empty queue -> full window
+
+
+def test_group_admission_matches_single_admission(models):
+    """A burst admitted through the vmapped group path must produce exactly
+    the tokens the one-at-a-time path produces."""
+    tcfg, dcfg, t_params, d_params = models
+    prompts = [np.asarray([5, 6, 7, 8]), np.asarray([9, 10, 11]),
+               np.asarray([3, 4]), np.asarray([12, 13, 14, 15, 16])]
+
+    eng_g = make_engine(models, num_lanes=4, batch_admission=True)
+    reqs_g = [eng_g.submit(p, max_new_tokens=10) for p in prompts]
+    eng_g.step()  # admits all four as one group (same temperature)
+    assert all(r is not None for r in eng_g._lane_req)
+    eng_g.run_until_drained()
+
+    eng_s = make_engine(models, num_lanes=1)  # forces singleton admissions
+    reqs_s = [eng_s.submit(p, max_new_tokens=10) for p in prompts]
+    eng_s.run_until_drained()
+
+    for rg, rs in zip(reqs_g, reqs_s):
+        assert rg.error is None and rs.error is None
+        np.testing.assert_array_equal(rg.output_ids, rs.output_ids)
