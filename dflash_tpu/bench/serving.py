@@ -140,6 +140,10 @@ def main(argv=None) -> None:
     p.add_argument("--quant", default="", choices=["", "int8"],
                    help="INT8 weight-only quantization for the in-process engine")
     p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    p.add_argument("--prefix-cache-mb", type=int, default=0)
+    p.add_argument("--shared-prefix-len", type=int, default=0,
+                   help="length of a system-prompt prefix shared by all "
+                        "requests (exercises the prefix cache)")
     p.add_argument("--steps-per-sync", type=int, default=8,
                    help="decode cycles per device dispatch")
     p.add_argument("--emulate-tau", type=float, default=None,
@@ -172,6 +176,7 @@ def main(argv=None) -> None:
                 prompt_cap=args.prompt_cap,
                 kv_quant=args.kv_quant,
                 steps_per_sync=args.steps_per_sync,
+                prefix_cache_mb=args.prefix_cache_mb,
                 emulate_tau=args.emulate_tau,
             ),
         )
@@ -185,8 +190,13 @@ def main(argv=None) -> None:
         vocab = 1000
 
     rng = np.random.default_rng(0)
+    # Shared "system prompt" prefix + per-request tail — the chat-serving
+    # shape the prompt-prefix cache targets (reference serves this via
+    # SGLang's radix cache).  shared_prefix_len=0 keeps prompts independent.
+    shared = rng.integers(10, vocab - 10, size=(args.shared_prefix_len,)).tolist()
+    tail = max(args.prompt_len - args.shared_prefix_len, 1)
     prompts = [
-        rng.integers(10, vocab - 10, size=(args.prompt_len,)).tolist()
+        shared + rng.integers(10, vocab - 10, size=(tail,)).tolist()
         for _ in range(args.num_requests)
     ]
 

@@ -30,7 +30,7 @@ import numpy as np
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.spec.batched import batched_cycles
-from dflash_tpu.spec.engine import LoopState, _prefill
+from dflash_tpu.spec.engine import LoopState, _prefill, _prefill_from_prefix
 
 
 @dataclass
@@ -63,6 +63,11 @@ class EngineConfig:
     # 1431 vs 1600 tok/s).  Wins only for steady same-shape admission floods
     # with a warm compile cache.
     batch_admission: bool = False
+    # Prompt-prefix cache (SGLang-radix-cache equivalent, engine/prefix_cache
+    # .py): device-LRU of prefilled prefix KV rows + taps at prompt_bucket
+    # boundaries; admissions resume prefill from the longest cached prefix.
+    # 0 disables.  Requires kv_quant=False (entries are stored bf16).
+    prefix_cache_mb: int = 0
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
     # environment; compute per cycle is identical, see bench.py).
@@ -201,6 +206,15 @@ class ContinuousBatchingEngine:
         # Running estimate of tokens committed per cycle (tau); refined from
         # retired requests' measured acceptance.
         self._tau_est = max(1.0, cfg.block_size / 2)
+        self._prefix_cache = None
+        if cfg.prefix_cache_mb > 0:
+            if cfg.kv_quant:
+                raise ValueError("prefix_cache_mb requires kv_quant=False")
+            from dflash_tpu.engine.prefix_cache import PrefixCache
+
+            self._prefix_cache = PrefixCache(
+                cfg.prefix_cache_mb * (1 << 20), cfg.prompt_bucket
+            )
         self._state = self._empty_state(R)
 
     # -- state management ---------------------------------------------------
@@ -394,13 +408,38 @@ class ContinuousBatchingEngine:
         )
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :P] = req.input_ids
-        single = _prefill(
-            self.t_params, self.d_params, jnp.asarray(padded), jnp.int32(P),
-            jnp.float32(req.temperature),
-            jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid),
+        common = dict(
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
         )
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid)
+        hit = (
+            self._prefix_cache.lookup(req.input_ids, P - 1)
+            if self._prefix_cache is not None else None
+        )
+        if hit is not None:
+            _, entry = hit
+            single = _prefill_from_prefix(
+                self.t_params, self.d_params, jnp.asarray(padded), jnp.int32(P),
+                entry.k_rows, entry.v_rows, entry.taps,
+                jnp.float32(req.temperature), key, **common,
+            )
+        else:
+            single = _prefill(
+                self.t_params, self.d_params, jnp.asarray(padded), jnp.int32(P),
+                jnp.float32(req.temperature), key, **common,
+            )
+            if self._prefix_cache is not None:
+                g = self.cfg.prompt_bucket
+                P0 = ((P - 1) // g) * g
+                if P0 >= g:
+                    from dflash_tpu.engine.prefix_cache import PrefixEntry
+
+                    self._prefix_cache.insert(req.input_ids, PrefixEntry(
+                        k_rows=single.t_kv.k[:, :, :P0],
+                        v_rows=single.t_kv.v[:, :, :P0],
+                        taps=single.features[:, :P0],
+                    ))
         self._state = _admit(self._state, jnp.int32(lane), single)
         self._lane_req[lane] = req
         self._lane_prompt_len[lane] = P
@@ -485,6 +524,8 @@ class ContinuousBatchingEngine:
             if any(r is not None for r in self._lane_req):
                 raise RuntimeError("cannot flush with active requests")
             self._state = self._empty_state(self.cfg.num_lanes)
+            if self._prefix_cache is not None:
+                self._prefix_cache.clear()
 
 
 # ---------------------------------------------------------------------------

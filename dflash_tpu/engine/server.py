@@ -148,6 +148,9 @@ def main(argv=None) -> None:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--quant", default="", choices=["", "int8"])
     p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    p.add_argument("--prefix-cache-mb", type=int, default=0,
+                   help="prompt-prefix cache budget (SGLang radix-cache "
+                        "equivalent); 0 disables")
     p.add_argument("--buckets", default=None,
                    help="total_len ladder: comma list of prompt_cap:max_new:lanes "
                         "rungs, e.g. 256:128:8,1024:512:4 — short requests decode "
@@ -176,6 +179,7 @@ def main(argv=None) -> None:
         prompt_cap=args.prompt_cap,
         stop_token_ids=(tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None else (),
         kv_quant=args.kv_quant,
+        prefix_cache_mb=args.prefix_cache_mb,
     )
     if args.buckets:
         rungs = [

@@ -214,6 +214,89 @@ def _prefill_impl(
     )
 
 
+def _prefill_from_prefix_impl(
+    t_params,
+    d_params,
+    input_ids: jax.Array,  # [1, P] padded
+    prompt_len: jax.Array,  # [] int32
+    prefix_k: jax.Array,  # [L, 1, P0, n_kv, d] cached prompt-prefix K rows
+    prefix_v: jax.Array,
+    prefix_taps: jax.Array,  # [1, P0, n_taps * H]
+    temperature: jax.Array,
+    key: jax.Array,
+    *,
+    tcfg: ModelConfig,
+    dcfg: DraftConfig,
+    total_len: int,
+    max_cycles: int,
+    kv_quant: bool = False,
+) -> LoopState:
+    """Prefill resuming from a cached prompt prefix (engine prefix cache,
+    the TPU-native counterpart of SGLang's radix cache): the cached rows are
+    committed at position 0 and only the suffix [P0, P) runs a forward —
+    O((P-P0)·P) attention instead of O(P²)."""
+    P = input_ids.shape[1]
+    P0 = prefix_k.shape[2]
+    H = tcfg.hidden_size
+    key, k_sample = jax.random.split(key)
+
+    dtype = t_params["embed"].dtype
+    d_kv = init_kv_cache(dcfg.model, 1, total_len, dtype)
+    if kv_quant:
+        t_kv = init_quant_kv_cache(tcfg, 1, total_len)
+    else:
+        t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
+    from dflash_tpu.cache.kv import write_rows
+
+    t_kv = write_rows(t_kv, prefix_k, prefix_v, 0)
+
+    suffix_ids = input_ids[:, P0:]
+    positions = P0 + jnp.arange(P - P0, dtype=jnp.int32)[None, :]
+    mask = qwen3.causal_mask(positions[0], total_len)
+    res = qwen3.forward(
+        t_params, tcfg, qwen3.embed(t_params, suffix_ids), positions, t_kv,
+        jnp.int32(P0), mask, tap_ids=dcfg.target_layer_ids,
+    )
+    taps = jnp.concatenate([prefix_taps.astype(res.taps.dtype), res.taps], axis=1)
+    last_hidden = jax.lax.dynamic_slice_in_dim(
+        res.hidden, prompt_len - 1 - P0, 1, axis=1
+    )
+    first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)
+
+    output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
+    prompt_row = jnp.where(
+        jnp.arange(P)[None, :] < prompt_len, input_ids.astype(jnp.int32), dcfg.mask_token_id
+    )
+    output_ids = jax.lax.dynamic_update_slice(output_ids, prompt_row, (0, 0))
+    output_ids = output_ids.at[0, prompt_len].set(first_token[0, 0])
+
+    features = jnp.zeros((1, total_len, dcfg.num_taps * H), taps.dtype)
+    features = jax.lax.dynamic_update_slice(features, taps, (0, 0, 0))
+
+    all_positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    d_kv = dflash_draft.append_ctx(
+        d_params, dcfg, d_kv, taps, all_positions, jnp.zeros((), jnp.int32)
+    )
+
+    return LoopState(
+        output_ids=output_ids,
+        start=prompt_len.astype(jnp.int32),
+        done=jnp.zeros((), bool),
+        cycle_idx=jnp.zeros((), jnp.int32),
+        acc_trace=jnp.zeros((max_cycles,), jnp.int32),
+        key=key,
+        t_kv=res.kv,
+        d_kv=d_kv,
+        features=features,
+    )
+
+
+_prefill_from_prefix = jax.jit(
+    _prefill_from_prefix_impl,
+    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles", "kv_quant"),
+)
+
+
 class CycleAux(NamedTuple):
     tau: jax.Array  # [] int32 — committed tokens this cycle
     l_gen: jax.Array  # [] float32 — EOS-aware drafted length (DiffuSpec ADL

@@ -260,3 +260,55 @@ def test_group_admission_matches_single_admission(models):
     for rg, rs in zip(reqs_g, reqs_s):
         assert rg.error is None and rs.error is None
         np.testing.assert_array_equal(rg.output_ids, rs.output_ids)
+
+
+def test_prefix_cache_hit_matches_cold_prefill(models):
+    """Requests resuming from a cached prompt prefix must produce exactly
+    the tokens a cold prefill produces (SGLang-radix-cache equivalent)."""
+    tcfg, dcfg, t_params, d_params = models
+    rng = np.random.default_rng(7)
+    shared_prefix = rng.integers(1, tcfg.vocab_size - 2, size=20)
+    p1 = np.concatenate([shared_prefix, [5, 6, 7]])
+    p2 = np.concatenate([shared_prefix, [9, 10]])
+
+    warm = make_engine(models, num_lanes=1, prefix_cache_mb=64)
+    assert warm._prefix_cache is not None
+    r1w = warm.submit(p1, max_new_tokens=10)
+    warm.run_until_drained()
+    assert warm._prefix_cache.misses == 1 and warm._prefix_cache.hits == 0
+    r2w = warm.submit(p2, max_new_tokens=10)
+    warm.run_until_drained()
+    assert warm._prefix_cache.hits == 1  # 16-token boundary of shared_prefix
+
+    cold = make_engine(models, num_lanes=1)
+    r1c = cold.submit(p1, max_new_tokens=10)
+    r2c = cold.submit(p2, max_new_tokens=10)
+    cold.run_until_drained()
+    np.testing.assert_array_equal(r1w.output_ids, r1c.output_ids)
+    np.testing.assert_array_equal(r2w.output_ids, r2c.output_ids)
+
+
+def test_prefix_cache_lru_eviction_and_flush(models):
+    from dflash_tpu.engine.prefix_cache import PrefixCache, PrefixEntry
+    import jax.numpy as jnp
+
+    def entry(seed, n):
+        k = jnp.full((2, 1, n, 2, 4), float(seed), jnp.float32)
+        return PrefixEntry(k_rows=k, v_rows=k, taps=jnp.zeros((1, n, 8), jnp.float32))
+
+    one = entry(1, 16).nbytes
+    pc = PrefixCache(capacity_bytes=2 * one + 1, granularity=16)
+    ids_a = np.arange(1, 40); ids_b = np.arange(2, 41); ids_c = np.arange(3, 42)
+    pc.insert(ids_a, entry(1, 16))
+    pc.insert(ids_b, entry(2, 16))
+    assert pc.lookup(ids_a, 38) is not None  # refresh a
+    pc.insert(ids_c, entry(3, 16))  # evicts b (LRU)
+    assert pc.lookup(ids_b, 39) is None
+    assert pc.lookup(ids_c, 40) is not None
+    pc.clear()
+    assert pc.lookup(ids_a, 38) is None
+    # oversize and non-boundary inserts are rejected silently
+    pc.insert(ids_a, entry(4, 15))
+    big = PrefixCache(capacity_bytes=one - 1, granularity=16)
+    big.insert(ids_a, entry(5, 16))
+    assert big.lookup(ids_a, 38) is None
