@@ -53,7 +53,8 @@ def make_forced_acc(n_cycles: int, block_size: int, tau_target: float, seed: int
 def main():
     preset = os.environ.get("BENCH_PRESET", "qwen3-4b")
     from dflash_tpu.core.config import (
-        QWEN3_4B, QWEN3_8B, dflash_draft_config, tiny_target_config, tiny_draft_config,
+        LLAMA31_8B, QWEN3_4B, QWEN3_8B, dflash_draft_config, tiny_target_config,
+        tiny_draft_config,
     )
     from dflash_tpu.models import dflash_draft, qwen3
     from dflash_tpu.spec import SpecEngine
@@ -62,6 +63,12 @@ def main():
         tcfg = tiny_target_config(num_key_value_heads=2)
         dcfg = tiny_draft_config(tcfg, block_size=16, num_layers=1)
         max_new, prompt_cap = 128, 128
+    elif preset == "llama31-8b":
+        # Llama-3.1-8B target family (no qk-norm, llama3 rope scaling);
+        # int8-only like the 8B Qwen (bf16 would not fit 16GB HBM).
+        tcfg = LLAMA31_8B
+        dcfg = dflash_draft_config(LLAMA31_8B, num_draft_layers=1, block_size=16)
+        max_new, prompt_cap = 512, 128
     elif preset == "qwen3-8b":
         # North-star config: Qwen3-8B on one v5e chip (int8-only; the bf16
         # form would not fit 16GB HBM).
@@ -78,7 +85,7 @@ def main():
         f"draft L={dcfg.model.num_hidden_layers} B={block_size} devices={jax.devices()}")
 
     quant = os.environ.get("BENCH_QUANT", "int8" if preset != "smoke" else "")
-    if preset == "qwen3-8b":
+    if preset in ("qwen3-8b", "llama31-8b"):
         # Generate directly in int8 — the bf16 intermediate would OOM.
         from dflash_tpu.quant import quantize_draft_params
         from dflash_tpu.quant.quantize import init_params_quantized

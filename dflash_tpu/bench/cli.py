@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--draft-steps", type=int, default=1)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--quant", type=str, default="", choices=["", "int8"],
+                   help="INT8 weight-only quantization of target + draft")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", type=str, default="vanilla",
                    choices=["vanilla", "candidates", "dynamic"])
@@ -123,6 +125,11 @@ def _resolve_models(args):
     else:
         raise SystemExit(f"unknown draft {args.draft_name_or_path!r}; "
                          "use a checkpoint dir or auto:<num_layers>")
+    if getattr(args, "quant", "") == "int8":
+        from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+
+        t_params = quantize_target_params(t_params, tcfg)
+        d_params = quantize_draft_params(d_params, dcfg)
     return tcfg, dcfg, t_params, d_params
 
 

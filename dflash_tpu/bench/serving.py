@@ -161,12 +161,7 @@ def main(argv=None) -> None:
         from dflash_tpu.engine import ContinuousBatchingEngine, EngineConfig
         from dflash_tpu.engine.server import EngineHTTPServer
 
-        tcfg, dcfg, t_params, d_params = _resolve_models(args)
-        if args.quant == "int8":
-            from dflash_tpu.quant import quantize_draft_params, quantize_target_params
-
-            t_params = quantize_target_params(t_params, tcfg)
-            d_params = quantize_draft_params(d_params, dcfg)
+        tcfg, dcfg, t_params, d_params = _resolve_models(args)  # honors --quant
         engine = ContinuousBatchingEngine(
             tcfg, dcfg, t_params, d_params,
             EngineConfig(

@@ -162,12 +162,7 @@ def main(argv=None) -> None:
     from dflash_tpu.engine.batching import BucketedEngine, BucketSpec, EngineConfig
     from pathlib import Path
 
-    tcfg, dcfg, t_params, d_params = _resolve_models(args)
-    if args.quant == "int8":
-        from dflash_tpu.quant import quantize_draft_params, quantize_target_params
-
-        t_params = quantize_target_params(t_params, tcfg)
-        d_params = quantize_draft_params(d_params, dcfg)
+    tcfg, dcfg, t_params, d_params = _resolve_models(args)  # honors --quant
     tokenizer = resolve_tokenizer(
         args.model_name_or_path if Path(args.model_name_or_path).exists() else None,
         tcfg.vocab_size,
