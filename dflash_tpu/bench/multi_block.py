@@ -76,6 +76,11 @@ def main(argv=None) -> None:
     from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from dflash_tpu.bench.metrics import mean_tau, summarize_mode, tau_histogram
     from dflash_tpu.bench.tokenizer import resolve_tokenizer
     from dflash_tpu.data import load_and_process_dataset
@@ -194,7 +199,7 @@ def main(argv=None) -> None:
             # (reference benchmark_multi_block.py:283-289)
             messages.append({
                 "role": "assistant",
-                "content": record["speculative"][str(block_sizes[-1])]["output_text"],
+                "content": record["speculative"][str(max(block_sizes))]["output_text"],
             })
             output_records.append(record)
 

@@ -184,12 +184,18 @@ def main(argv=None) -> None:
     else:
         vocab = 1000
 
+    if args.shared_prefix_len >= args.prompt_len:
+        raise SystemExit(
+            f"--shared-prefix-len {args.shared_prefix_len} must be < "
+            f"--prompt-len {args.prompt_len} (each request needs its own tail)"
+        )
     rng = np.random.default_rng(0)
     # Shared "system prompt" prefix + per-request tail — the chat-serving
     # shape the prompt-prefix cache targets (reference serves this via
     # SGLang's radix cache).  shared_prefix_len=0 keeps prompts independent.
+    # Total length is exactly prompt_len in both cases.
     shared = rng.integers(10, vocab - 10, size=(args.shared_prefix_len,)).tolist()
-    tail = max(args.prompt_len - args.shared_prefix_len, 1)
+    tail = args.prompt_len - args.shared_prefix_len
     prompts = [
         shared + rng.integers(10, vocab - 10, size=(tail,)).tolist()
         for _ in range(args.num_requests)

@@ -115,36 +115,28 @@ def update_layer_quant(
     )
 
 
-def write_rows(kv, k_rows: jax.Array, v_rows: jax.Array, write_pos=0):
-    """Write K/V rows [L, B, S, n_kv, d] of ALL layers at ``write_pos`` in one
-    dynamic_update_slice per tensor (quantizing on the way in for the int8
-    cache).
+def write_prompt_rows(kv, k_rows: jax.Array, v_rows: jax.Array):
+    """Write prompt K/V rows [L, B, S, n_kv, d] of ALL layers at position 0
+    in one dynamic_update_slice per tensor (quantizing on the way in for the
+    int8 cache).
 
-    Used by the cache-free prefill path (position 0) and by the decode layer
-    scan's post-scan commit of the current block's rows (position = frontier)
-    — one whole-stack write instead of a per-layer write-back."""
-    z = jnp.zeros((), jnp.int32)
-    p = z + write_pos
-    idx5 = (z, z, p, z, z)
-    idx4 = (z, z, p, z)
+    Used by the cache-free prefill path (models/qwen3.py forward_prefill) and
+    by the prefix-cache resume path (spec/engine.py _prefill_from_prefix),
+    which commits the cached prefix rows before forwarding the suffix."""
+    zeros5 = (0, 0, 0, 0, 0)
     if isinstance(kv, QuantKVCache):
         kq, ks = quantize_rows(k_rows)
         vq, vs = quantize_rows(v_rows)
         return QuantKVCache(
-            k=jax.lax.dynamic_update_slice(kv.k, kq, idx5),
-            k_scale=jax.lax.dynamic_update_slice(kv.k_scale, ks, idx4),
-            v=jax.lax.dynamic_update_slice(kv.v, vq, idx5),
-            v_scale=jax.lax.dynamic_update_slice(kv.v_scale, vs, idx4),
+            k=jax.lax.dynamic_update_slice(kv.k, kq, zeros5),
+            k_scale=jax.lax.dynamic_update_slice(kv.k_scale, ks, (0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(kv.v, vq, zeros5),
+            v_scale=jax.lax.dynamic_update_slice(kv.v_scale, vs, (0, 0, 0, 0)),
         )
     return KVCache(
-        k=jax.lax.dynamic_update_slice(kv.k, k_rows.astype(kv.k.dtype), idx5),
-        v=jax.lax.dynamic_update_slice(kv.v, v_rows.astype(kv.v.dtype), idx5),
+        k=jax.lax.dynamic_update_slice(kv.k, k_rows.astype(kv.k.dtype), zeros5),
+        v=jax.lax.dynamic_update_slice(kv.v, v_rows.astype(kv.v.dtype), zeros5),
     )
-
-
-def write_prompt_rows(kv, k_rows: jax.Array, v_rows: jax.Array):
-    """Prefill commit at position 0 (see :func:`write_rows`)."""
-    return write_rows(kv, k_rows, v_rows, 0)
 
 
 def update_any(cache_layer, k_new: jax.Array, v_new: jax.Array, write_pos: jax.Array):

@@ -20,9 +20,9 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or os.path.join(os.path.expanduser("~"), ".cache", "dflash_tpu", "jax")
     )
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover — older jax knob names
+    except Exception:  # unwritable $HOME / old jax knob names — run uncached
         pass

@@ -88,6 +88,11 @@ class Request:
     done_event: threading.Event = field(default_factory=threading.Event)
 
 
+class _GroupPrefillError(RuntimeError):
+    """Group admission failed before any engine buffer was donated —
+    the caller may safely retry the requests one at a time."""
+
+
 def _select_lane(batched, lane: jax.Array, single, axis: int = 0):
     """Write a batch-1 pytree into lane ``lane`` of a batched pytree."""
     return jax.tree.map(
@@ -328,11 +333,14 @@ class ContinuousBatchingEngine:
         # Admission bursts (startup, post-retire) run each group of
         # same-temperature requests through ONE vmapped prefill dispatch +
         # ONE multi-lane admit dispatch instead of 2 dispatches per request.
+        # Grouping is skipped when the prefix cache is on (the group prefill
+        # has no prefix-resume path and would silently bypass the cache).
+        grouping = self.cfg.batch_admission and self._prefix_cache is None
         i = 0
         while i < len(reqs):
             group = [reqs[i]]
             while (
-                self.cfg.batch_admission
+                grouping
                 and i + len(group) < len(reqs)
                 and reqs[i + len(group)].temperature == group[0].temperature
                 and len(group) < len(free)
@@ -340,57 +348,70 @@ class ContinuousBatchingEngine:
                 group.append(reqs[i + len(group)])
             lanes = free[:len(group)]
             free = free[len(group):]
+            if len(group) > 1:
+                try:
+                    self._admit_group(lanes, group)
+                    i += len(group)
+                    continue
+                except _GroupPrefillError:
+                    pass  # fall through to per-request admission below
+                # NOTE: an exception AFTER the group prefill (i.e. from the
+                # donating _admit_many) propagates — self._state's buffers
+                # are gone, so retrying per-request would dispatch on
+                # deleted arrays; that is an engine-level failure.
             # A bad request (e.g. malformed ids tripping a device error during
             # its prefill) must not kill the other lanes: surface the failure
             # on the request itself and keep serving (SURVEY §5 failure row —
             # the reference only has sweep-level CONTINUE_ON_ERROR).
-            try:
-                if len(group) == 1:
-                    self._admit_request(lanes[0], group[0])
-                else:
-                    self._admit_group(lanes, group)
-            except Exception:  # noqa: BLE001 — isolate per-request faults
-                for lane, req in zip(lanes, group):
-                    try:
-                        self._admit_request(lane, req)
-                    except Exception as e:  # noqa: BLE001
-                        req.error = f"{type(e).__name__}: {e}"
-                        req.meta_info = {"error": req.error}
-                        self.completed[req.rid] = req
-                        req.done_event.set()
+            for lane, req in zip(lanes, group):
+                try:
+                    self._admit_request(lane, req)
+                except Exception as e:  # noqa: BLE001 — isolate per-request faults
+                    req.error = f"{type(e).__name__}: {e}"
+                    req.meta_info = {"error": req.error}
+                    self.completed[req.rid] = req
+                    req.done_event.set()
             i += len(group)
 
     def _admit_group(self, lanes: List[int], reqs: List[Request]) -> None:
         """Prefill ``k`` same-temperature requests in ONE vmapped dispatch and
         scatter them into their lanes with one more; group sizes are bucketed
-        to powers of two so the compile count stays logarithmic."""
+        to powers of two so the compile count stays logarithmic.
+
+        Failures BEFORE the donating multi-lane admit raise
+        :class:`_GroupPrefillError` (safe to retry per-request); failures
+        inside ``_admit_many`` propagate — the engine state was donated."""
         from dflash_tpu.spec.batched import jit_batched_prefill
 
         k = len(reqs)
-        R = 1 << (k - 1).bit_length()  # pow2 bucket; padded rows are dropped
-        Pmax = max(len(r.input_ids) for r in reqs)
-        bucket = min(
-            self.cfg.prompt_cap,
-            ((max(Pmax, 1) + self.cfg.prompt_bucket - 1) // self.cfg.prompt_bucket)
-            * self.cfg.prompt_bucket,
-        )
-        padded = np.zeros((R, 1, bucket), np.int32)
-        plens = np.ones((R,), np.int32)
-        rids = np.zeros((R,), np.int64)
-        for j, req in enumerate(reqs):
-            padded[j, 0, : len(req.input_ids)] = req.input_ids
-            plens[j] = len(req.input_ids)
-            rids[j] = req.rid
-        base_key = jax.random.PRNGKey(self.cfg.seed)
-        keys = jax.vmap(lambda r: jax.random.fold_in(base_key, r))(
-            jnp.asarray(rids, jnp.uint32)
-        )
-        group = jit_batched_prefill(
-            self.t_params, self.d_params, jnp.asarray(padded), jnp.asarray(plens),
-            jnp.float32(reqs[0].temperature), keys,
-            tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
-            max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
-        )
+        try:
+            R = 1 << (k - 1).bit_length()  # pow2 bucket; padded rows dropped
+            Pmax = max(len(r.input_ids) for r in reqs)
+            bucket = min(
+                self.cfg.prompt_cap,
+                ((max(Pmax, 1) + self.cfg.prompt_bucket - 1) // self.cfg.prompt_bucket)
+                * self.cfg.prompt_bucket,
+            )
+            padded = np.zeros((R, 1, bucket), np.int32)
+            plens = np.ones((R,), np.int32)
+            rids = np.zeros((R,), np.int64)
+            for j, req in enumerate(reqs):
+                padded[j, 0, : len(req.input_ids)] = req.input_ids
+                plens[j] = len(req.input_ids)
+                rids[j] = req.rid
+            base_key = jax.random.PRNGKey(self.cfg.seed)
+            keys = jax.vmap(lambda r: jax.random.fold_in(base_key, r))(
+                jnp.asarray(rids, jnp.uint32)
+            )
+            group = jit_batched_prefill(
+                self.t_params, self.d_params, jnp.asarray(padded), jnp.asarray(plens),
+                jnp.float32(reqs[0].temperature), keys,
+                tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
+                max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
+            )
+            jax.block_until_ready(group.start)  # surface prefill faults here
+        except Exception as e:  # noqa: BLE001
+            raise _GroupPrefillError(str(e)) from e
         self._state = _admit_many(
             self._state, jnp.asarray(lanes, jnp.int32), group, k=k
         )
@@ -564,12 +585,16 @@ class BucketedEngine:
         self.buckets = sorted(
             buckets, key=lambda b: b.prompt_cap + b.max_new_tokens
         )
+        # The prefix-cache budget is SPLIT across rungs (each pool holds an
+        # independent LRU; entries are not shared cross-rung), so the flag
+        # stays the total device-memory bound.
+        per_pool_mb = cfg.prefix_cache_mb // len(self.buckets)
         self.pools = [
             ContinuousBatchingEngine(
                 tcfg, dcfg, t_params, d_params,
                 dataclasses.replace(
                     cfg, num_lanes=b.num_lanes, prompt_cap=b.prompt_cap,
-                    max_new_tokens=b.max_new_tokens,
+                    max_new_tokens=b.max_new_tokens, prefix_cache_mb=per_pool_mb,
                 ),
             )
             for b in self.buckets

@@ -246,9 +246,7 @@ def _prefill_from_prefix_impl(
         t_kv = init_quant_kv_cache(tcfg, 1, total_len)
     else:
         t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
-    from dflash_tpu.cache.kv import write_rows
-
-    t_kv = write_rows(t_kv, prefix_k, prefix_v, 0)
+    t_kv = write_prompt_rows(t_kv, prefix_k, prefix_v)
 
     suffix_ids = input_ids[:, P0:]
     positions = P0 + jnp.arange(P - P0, dtype=jnp.int32)[None, :]
