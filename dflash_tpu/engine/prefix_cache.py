@@ -8,17 +8,20 @@ arrays — the target-KV rows and tap features of a prompt prefix at
 cached frontier (one incremental forward over the suffix) instead of
 recomputing the O(P²) prefix.
 
-Exact-match prefix keys (hash of the token bytes) rather than a radix tree:
-lookups walk bucket boundaries longest-first, which captures the dominant
-shared-system-prompt case with static shapes per bucket (each (prefix,
-suffix) bucket pair is one compiled executable).
+Radix-lite rather than a radix tree: one inserted prefix registers a key for
+EVERY granularity boundary it covers, all sharing the same device entry
+(memory is counted once), so a prompt agreeing with a cached one on only a
+shorter boundary still hits — the dominant shared-system-prompt shapes are
+captured with static shapes per (prefix, suffix) bucket pair (each is one
+compiled executable).
 """
 
 from __future__ import annotations
 
 import hashlib
+import itertools
 from collections import OrderedDict
-from typing import NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import numpy as np
@@ -37,18 +40,33 @@ class PrefixEntry(NamedTuple):
     def nbytes(self) -> int:
         return sum(x.size * x.dtype.itemsize for x in self)
 
+    def truncated(self, n: int) -> "PrefixEntry":
+        if n == self.prefix_len:
+            return self
+        return PrefixEntry(
+            k_rows=self.k_rows[:, :, :n],
+            v_rows=self.v_rows[:, :, :n],
+            taps=self.taps[:, :n],
+        )
+
 
 def _key(ids: np.ndarray, n: int) -> bytes:
     return hashlib.sha1(np.ascontiguousarray(ids[:n], np.int32).tobytes()).digest()
 
 
 class PrefixCache:
-    """Byte-bounded LRU of :class:`PrefixEntry` keyed by token-prefix hash."""
+    """Byte-bounded LRU of :class:`PrefixEntry` keyed by token-prefix hash.
+
+    Entries are evicted as wholes (all their boundary keys together), oldest
+    lookup/insert first."""
 
     def __init__(self, capacity_bytes: int, granularity: int):
         self.capacity = int(capacity_bytes)
         self.granularity = int(granularity)
-        self._entries: "OrderedDict[bytes, PrefixEntry]" = OrderedDict()
+        # gid -> (entry, boundary keys); LRU order on gids
+        self._groups: "OrderedDict[int, Tuple[PrefixEntry, list]]" = OrderedDict()
+        self._index: Dict[bytes, Tuple[int, int]] = {}  # key -> (gid, n)
+        self._gid = itertools.count()
         self._bytes = 0
         self.hits = 0
         self.misses = 0
@@ -60,33 +78,48 @@ class PrefixCache:
         ids = np.asarray(ids).reshape(-1)
         n = (min(max_prefix, ids.shape[0] - 1) // self.granularity) * self.granularity
         while n >= self.granularity:
-            key = _key(ids, n)
-            entry = self._entries.get(key)
-            if entry is not None and entry.prefix_len == n:
-                self._entries.move_to_end(key)
+            hit = self._index.get(_key(ids, n))
+            if hit is not None:
+                gid, n_hit = hit
+                entry, _ = self._groups[gid]
+                self._groups.move_to_end(gid)
                 self.hits += 1
-                return n, entry
+                return n_hit, entry.truncated(n_hit)
             n -= self.granularity
         self.misses += 1
         return None
 
     def insert(self, ids: np.ndarray, entry: PrefixEntry) -> None:
-        n = entry.prefix_len
-        if n < self.granularity or n % self.granularity:
+        n_max = entry.prefix_len
+        if n_max < self.granularity or n_max % self.granularity:
             return
-        key = _key(np.asarray(ids).reshape(-1), n)
-        if key in self._entries:
-            self._entries.move_to_end(key)
+        ids = np.asarray(ids).reshape(-1)
+        full_key = _key(ids, n_max)
+        if full_key in self._index:
+            self._groups.move_to_end(self._index[full_key][0])
             return
         size = entry.nbytes
         if size > self.capacity:
             return
-        while self._bytes + size > self.capacity and self._entries:
-            _, old = self._entries.popitem(last=False)
-            self._bytes -= old.nbytes
-        self._entries[key] = entry
+        while self._bytes + size > self.capacity and self._groups:
+            self._evict_oldest()
+        gid = next(self._gid)
+        keys = []
+        for n in range(self.granularity, n_max + 1, self.granularity):
+            key = _key(ids, n)
+            self._index[key] = (gid, n)
+            keys.append(key)
+        self._groups[gid] = (entry, keys)
         self._bytes += size
 
+    def _evict_oldest(self) -> None:
+        gid, (entry, keys) = self._groups.popitem(last=False)
+        self._bytes -= entry.nbytes
+        for key in keys:
+            if self._index.get(key, (None,))[0] == gid:
+                del self._index[key]
+
     def clear(self) -> None:
-        self._entries.clear()
+        self._groups.clear()
+        self._index.clear()
         self._bytes = 0

@@ -312,3 +312,28 @@ def test_prefix_cache_lru_eviction_and_flush(models):
     big = PrefixCache(capacity_bytes=one - 1, granularity=16)
     big.insert(ids_a, entry(5, 16))
     assert big.lookup(ids_a, 38) is None
+
+
+def test_prefix_cache_sub_boundary_hits(models):
+    """Radix-lite: a 32-token cached prefix must also serve prompts agreeing
+    only on its first 16 tokens, sharing ONE device entry (bytes counted
+    once), and the returned entry is truncated to the hit boundary."""
+    from dflash_tpu.engine.prefix_cache import PrefixCache, PrefixEntry
+    import jax.numpy as jnp
+
+    k = jnp.arange(2 * 1 * 32 * 2 * 4, dtype=jnp.float32).reshape(2, 1, 32, 2, 4)
+    entry = PrefixEntry(k_rows=k, v_rows=k, taps=jnp.zeros((1, 32, 8), jnp.float32))
+    pc = PrefixCache(capacity_bytes=10 * entry.nbytes, granularity=16)
+    ids_long = np.arange(1, 50)
+    pc.insert(ids_long, entry)
+    assert pc._bytes == entry.nbytes
+
+    diverging = np.concatenate([ids_long[:16], [999, 998, 997]])
+    hit = pc.lookup(diverging, len(diverging) - 1)
+    assert hit is not None
+    n, sub = hit
+    assert n == 16 and sub.prefix_len == 16
+    np.testing.assert_array_equal(np.asarray(sub.k_rows), np.asarray(entry.k_rows[:, :, :16]))
+    # full-boundary hit still returns the full entry
+    n2, full = pc.lookup(ids_long, 48)
+    assert n2 == 32 and full.prefix_len == 32
