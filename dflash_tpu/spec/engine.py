@@ -643,6 +643,8 @@ class SpecEngine:
         self.prompt_bucket = int(prompt_bucket)
         self.stop_token_ids = tuple(int(s) for s in stop_token_ids)
         self.kv_quant = bool(kv_quant)
+        # "auto": full O(P^2) prefill for short prompts, chunked past the
+        # measured crossover (~4k on v5e, docs/RESULTS.md TTFT table).
         self.prefill_chunk = prefill_chunk
         self.mesh = mesh
         self.seq_axis = seq_axis
@@ -651,6 +653,11 @@ class SpecEngine:
         if attn_impl == "pallas":
             # frontier-bounded kernel streams the cache in fixed-size chunks
             self.total_len = _round_up(self.total_len, 512)
+
+    def _resolve_chunk(self, padded_len: int) -> Optional[int]:
+        if self.prefill_chunk == "auto":
+            return 512 if padded_len > 4096 else None
+        return self.prefill_chunk
 
     def _pad_prompt(self, input_ids: np.ndarray) -> tuple[jax.Array, int, int]:
         input_ids = np.asarray(input_ids)
@@ -685,7 +692,7 @@ class SpecEngine:
         forced_acc: Optional[np.ndarray] = None,
         draft_steps: int = 1,
     ) -> GenerationResult:
-        ids, prompt_len, _ = self._pad_prompt(input_ids)
+        ids, prompt_len, padded_len = self._pad_prompt(input_ids)
         key = jax.random.PRNGKey(seed)
         temp = jnp.float32(temperature)
         plen = jnp.int32(prompt_len)
@@ -696,8 +703,8 @@ class SpecEngine:
             self.t_params, self.d_params, ids, plen, temp, key,
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_new_tokens, kv_quant=self.kv_quant,
-            prefill_chunk=self.prefill_chunk, mesh=self.mesh, seq_axis=self.seq_axis,
-            attn_impl=self.attn_impl,
+            prefill_chunk=self._resolve_chunk(padded_len), mesh=self.mesh,
+            seq_axis=self.seq_axis, attn_impl=self.attn_impl,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -739,7 +746,7 @@ class SpecEngine:
         temperature: float = 0.0,
         seed: int = 0,
     ) -> GenerationResult:
-        ids, prompt_len, _ = self._pad_prompt(input_ids)
+        ids, prompt_len, padded_len = self._pad_prompt(input_ids)
         key = jax.random.PRNGKey(seed)
         temp = jnp.float32(temperature)
         plen = jnp.int32(prompt_len)
@@ -750,8 +757,8 @@ class SpecEngine:
             self.t_params, ids, plen, temp, key,
             tcfg=self.tcfg, total_len=self.total_len,
             mask_token_id=self.dcfg.mask_token_id, kv_quant=self.kv_quant,
-            prefill_chunk=self.prefill_chunk, mesh=self.mesh, seq_axis=self.seq_axis,
-            attn_impl=self.attn_impl,
+            prefill_chunk=self._resolve_chunk(padded_len), mesh=self.mesh,
+            seq_axis=self.seq_axis, attn_impl=self.attn_impl,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0

@@ -157,3 +157,24 @@ def test_bucketed_attention_matches_full_read(model_pair):
         np.asarray(full.ar_generate(prompt, temperature=0.0).output_ids),
         np.asarray(buck.ar_generate(prompt, temperature=0.0).output_ids),
     )
+
+
+def test_auto_prefill_chunk_selection():
+    """prefill_chunk='auto' resolves by padded prompt length (full O(P^2)
+    below the measured ~4k crossover, chunked-512 above) and still produces
+    AR==spec parity tokens."""
+    from dflash_tpu.spec.engine import SpecEngine
+
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    eng = SpecEngine(tcfg, dcfg, t_params, d_params, max_new_tokens=8,
+                     prompt_cap=8192, prompt_bucket=128, prefill_chunk="auto")
+    assert eng._resolve_chunk(128) is None
+    assert eng._resolve_chunk(4096) is None
+    assert eng._resolve_chunk(4224) == 512
+    prompt = np.random.default_rng(0).integers(0, tcfg.vocab_size - 2, size=(1, 9))
+    spec = eng.generate(prompt, temperature=0.0)
+    ar = eng.ar_generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
