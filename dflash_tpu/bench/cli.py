@@ -141,29 +141,31 @@ def make_forced_acc(n: int, block_size: int, tau_target: float, seed: int = 0):
     return (np.clip(taus, 1, block_size) - 1).astype(np.int32)
 
 
-def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
-    t_setup = time.perf_counter()
-
-    # Honor JAX_PLATFORMS even when a sitecustomize-registered PJRT plugin
-    # has already overridden jax.config programmatically.
+def setup_jax_runtime(args) -> None:
+    """Shared CLI preamble: honor JAX_PLATFORMS even when a sitecustomize-
+    registered PJRT plugin already overrode jax.config programmatically,
+    enable the persistent compile cache, arm --debug-nans."""
     import os
+
+    import jax
 
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
-        import jax
-
         try:
             jax.config.update("jax_platforms", plat)
         except RuntimeError:
             pass
     from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
+
     enable_persistent_compilation_cache()
-
-    if args.debug_nans:
-        import jax
-
+    if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    t_setup = time.perf_counter()
+    setup_jax_runtime(args)
 
     from dflash_tpu.bench.metrics import mean_tau, summarize_mode, summarize_profile, tau_histogram
     from dflash_tpu.bench.tokenizer import resolve_tokenizer

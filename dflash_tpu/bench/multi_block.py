@@ -24,7 +24,12 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from dflash_tpu.bench.cli import build_parser, make_forced_acc, _resolve_models
+from dflash_tpu.bench.cli import (
+    build_parser,
+    make_forced_acc,
+    setup_jax_runtime,
+    _resolve_models,
+)
 
 
 def parse_block_sizes(raw: str) -> list[int]:
@@ -61,25 +66,7 @@ def build_multi_parser():
 def main(argv=None) -> None:
     args = build_multi_parser().parse_args(argv)
     t_setup = time.perf_counter()
-
-    import os
-
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", plat)
-        except RuntimeError:
-            pass
-
-    from dflash_tpu.core.jaxcache import enable_persistent_compilation_cache
-    enable_persistent_compilation_cache()
-
-    if args.debug_nans:
-        import jax
-
-        jax.config.update("jax_debug_nans", True)
+    setup_jax_runtime(args)
 
     from dflash_tpu.bench.metrics import mean_tau, summarize_mode, tau_histogram
     from dflash_tpu.bench.tokenizer import resolve_tokenizer

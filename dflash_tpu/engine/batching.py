@@ -373,6 +373,11 @@ class ContinuousBatchingEngine:
                     req.done_event.set()
             i += len(group)
 
+    def _prompt_bucket(self, prompt_len: int) -> int:
+        """Smallest prompt_bucket multiple covering prompt_len, capped."""
+        g = self.cfg.prompt_bucket
+        return min(self.cfg.prompt_cap, ((max(prompt_len, 1) + g - 1) // g) * g)
+
     def _admit_group(self, lanes: List[int], reqs: List[Request]) -> None:
         """Prefill ``k`` same-temperature requests in ONE vmapped dispatch and
         scatter them into their lanes with one more; group sizes are bucketed
@@ -386,12 +391,7 @@ class ContinuousBatchingEngine:
         k = len(reqs)
         try:
             R = 1 << (k - 1).bit_length()  # pow2 bucket; padded rows dropped
-            Pmax = max(len(r.input_ids) for r in reqs)
-            bucket = min(
-                self.cfg.prompt_cap,
-                ((max(Pmax, 1) + self.cfg.prompt_bucket - 1) // self.cfg.prompt_bucket)
-                * self.cfg.prompt_bucket,
-            )
+            bucket = self._prompt_bucket(max(len(r.input_ids) for r in reqs))
             padded = np.zeros((R, 1, bucket), np.int32)
             plens = np.ones((R,), np.int32)
             rids = np.zeros((R,), np.int64)
@@ -422,11 +422,7 @@ class ContinuousBatchingEngine:
 
     def _admit_request(self, lane: int, req: Request) -> None:
         P = len(req.input_ids)
-        bucket = min(
-            self.cfg.prompt_cap,
-            ((max(P, 1) + self.cfg.prompt_bucket - 1) // self.cfg.prompt_bucket)
-            * self.cfg.prompt_bucket,
-        )
+        bucket = self._prompt_bucket(P)
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :P] = req.input_ids
         common = dict(

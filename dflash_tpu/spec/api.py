@@ -15,11 +15,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
-from dflash_tpu.spec.engine import GenerationResult, SpecEngine
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from dflash_tpu.spec.engine import GenerationResult, SpecEngine, _round_up
 
 
 def spec_generate(
