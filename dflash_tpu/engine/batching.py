@@ -66,7 +66,8 @@ class EngineConfig:
     # Prompt-prefix cache (SGLang-radix-cache equivalent, engine/prefix_cache
     # .py): device-LRU of prefilled prefix KV rows + taps at prompt_bucket
     # boundaries; admissions resume prefill from the longest cached prefix.
-    # 0 disables.  Requires kv_quant=False (entries are stored bf16).
+    # 0 disables.  Works with both bf16 and int8 (kv_quant) caches — entries
+    # are stored in the cache's own representation.
     prefix_cache_mb: int = 0
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
@@ -213,8 +214,6 @@ class ContinuousBatchingEngine:
         self._tau_est = max(1.0, cfg.block_size / 2)
         self._prefix_cache = None
         if cfg.prefix_cache_mb > 0:
-            if cfg.kv_quant:
-                raise ValueError("prefix_cache_mb requires kv_quant=False")
             from dflash_tpu.engine.prefix_cache import PrefixCache
 
             self._prefix_cache = PrefixCache(
@@ -438,7 +437,7 @@ class ContinuousBatchingEngine:
             _, entry = hit
             single = _prefill_from_prefix(
                 self.t_params, self.d_params, jnp.asarray(padded), jnp.int32(P),
-                entry.k_rows, entry.v_rows, entry.taps,
+                entry.kv_rows, entry.taps,
                 jnp.float32(req.temperature), key, **common,
             )
         else:
@@ -453,8 +452,7 @@ class ContinuousBatchingEngine:
                     from dflash_tpu.engine.prefix_cache import PrefixEntry
 
                     self._prefix_cache.insert(req.input_ids, PrefixEntry(
-                        k_rows=single.t_kv.k[:, :, :P0],
-                        v_rows=single.t_kv.v[:, :, :P0],
+                        kv_rows=jax.tree.map(lambda x: x[:, :, :P0], single.t_kv),
                         taps=single.features[:, :P0],
                     ))
         self._state = _admit(self._state, jnp.int32(lane), single)

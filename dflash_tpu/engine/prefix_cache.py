@@ -28,24 +28,29 @@ import numpy as np
 
 
 class PrefixEntry(NamedTuple):
-    k_rows: jax.Array  # [L, 1, P0, n_kv, d]
-    v_rows: jax.Array  # [L, 1, P0, n_kv, d]
+    """Prefilled prompt-prefix rows: ``kv_rows`` is a KVCache or QuantKVCache
+    pytree whose leaves are the cache's first P0 positions ([L, 1, P0, ...]
+    — position axis 2 on every leaf, including the int8 scales), so entries
+    work for both bf16 and int8-quantized caches."""
+
+    kv_rows: object  # KVCache | QuantKVCache rows pytree
     taps: jax.Array  # [1, P0, n_taps * H]
 
     @property
     def prefix_len(self) -> int:
-        return self.k_rows.shape[2]
+        return self.taps.shape[1]
 
     @property
     def nbytes(self) -> int:
-        return sum(x.size * x.dtype.itemsize for x in self)
+        return sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves((self.kv_rows, self.taps))
+        )
 
     def truncated(self, n: int) -> "PrefixEntry":
         if n == self.prefix_len:
             return self
         return PrefixEntry(
-            k_rows=self.k_rows[:, :, :n],
-            v_rows=self.v_rows[:, :, :n],
+            kv_rows=jax.tree.map(lambda x: x[:, :, :n], self.kv_rows),
             taps=self.taps[:, :n],
         )
 

@@ -219,8 +219,7 @@ def _prefill_from_prefix_impl(
     d_params,
     input_ids: jax.Array,  # [1, P] padded
     prompt_len: jax.Array,  # [] int32
-    prefix_k: jax.Array,  # [L, 1, P0, n_kv, d] cached prompt-prefix K rows
-    prefix_v: jax.Array,
+    prefix_kv,  # KVCache | QuantKVCache rows pytree, leaves [L, 1, P0, ...]
     prefix_taps: jax.Array,  # [1, P0, n_taps * H]
     temperature: jax.Array,
     key: jax.Array,
@@ -236,7 +235,7 @@ def _prefill_from_prefix_impl(
     committed at position 0 and only the suffix [P0, P) runs a forward —
     O((P-P0)·P) attention instead of O(P²)."""
     P = input_ids.shape[1]
-    P0 = prefix_k.shape[2]
+    P0 = prefix_taps.shape[1]
     H = tcfg.hidden_size
     key, k_sample = jax.random.split(key)
 
@@ -246,7 +245,14 @@ def _prefill_from_prefix_impl(
         t_kv = init_quant_kv_cache(tcfg, 1, total_len)
     else:
         t_kv = init_kv_cache(tcfg, 1, total_len, dtype)
-    t_kv = write_prompt_rows(t_kv, prefix_k, prefix_v)
+    # The cached rows are in the cache's own representation (bf16 or
+    # int8+scales), so the commit is a direct per-leaf write — no requant.
+    t_kv = jax.tree.map(
+        lambda buf, rows: jax.lax.dynamic_update_slice(
+            buf, rows.astype(buf.dtype), (0,) * buf.ndim
+        ),
+        t_kv, prefix_kv,
+    )
 
     suffix_ids = input_ids[:, P0:]
     positions = P0 + jnp.arange(P - P0, dtype=jnp.int32)[None, :]

@@ -292,9 +292,11 @@ def test_prefix_cache_lru_eviction_and_flush(models):
     from dflash_tpu.engine.prefix_cache import PrefixCache, PrefixEntry
     import jax.numpy as jnp
 
+    from dflash_tpu.cache.kv import KVCache
+
     def entry(seed, n):
         k = jnp.full((2, 1, n, 2, 4), float(seed), jnp.float32)
-        return PrefixEntry(k_rows=k, v_rows=k, taps=jnp.zeros((1, n, 8), jnp.float32))
+        return PrefixEntry(kv_rows=KVCache(k=k, v=k), taps=jnp.zeros((1, n, 8), jnp.float32))
 
     one = entry(1, 16).nbytes
     pc = PrefixCache(capacity_bytes=2 * one + 1, granularity=16)
@@ -321,8 +323,10 @@ def test_prefix_cache_sub_boundary_hits(models):
     from dflash_tpu.engine.prefix_cache import PrefixCache, PrefixEntry
     import jax.numpy as jnp
 
+    from dflash_tpu.cache.kv import KVCache
+
     k = jnp.arange(2 * 1 * 32 * 2 * 4, dtype=jnp.float32).reshape(2, 1, 32, 2, 4)
-    entry = PrefixEntry(k_rows=k, v_rows=k, taps=jnp.zeros((1, 32, 8), jnp.float32))
+    entry = PrefixEntry(kv_rows=KVCache(k=k, v=k), taps=jnp.zeros((1, 32, 8), jnp.float32))
     pc = PrefixCache(capacity_bytes=10 * entry.nbytes, granularity=16)
     ids_long = np.arange(1, 50)
     pc.insert(ids_long, entry)
@@ -333,7 +337,33 @@ def test_prefix_cache_sub_boundary_hits(models):
     assert hit is not None
     n, sub = hit
     assert n == 16 and sub.prefix_len == 16
-    np.testing.assert_array_equal(np.asarray(sub.k_rows), np.asarray(entry.k_rows[:, :, :16]))
+    np.testing.assert_array_equal(
+        np.asarray(sub.kv_rows.k), np.asarray(entry.kv_rows.k[:, :, :16])
+    )
     # full-boundary hit still returns the full entry
     n2, full = pc.lookup(ids_long, 48)
     assert n2 == 32 and full.prefix_len == 32
+
+
+def test_prefix_cache_with_int8_kv(models):
+    """Prefix entries stored in the quantized cache's own representation:
+    hits with kv_quant=True must match the cold kv_quant=True output."""
+    tcfg, dcfg, t_params, d_params = models
+    rng = np.random.default_rng(11)
+    shared = rng.integers(1, tcfg.vocab_size - 2, size=20)
+    p1 = np.concatenate([shared, [5, 6, 7]])
+    p2 = np.concatenate([shared, [9]])
+
+    warm = make_engine(models, num_lanes=1, prefix_cache_mb=64, kv_quant=True)
+    r1 = warm.submit(p1, max_new_tokens=10)
+    warm.run_until_drained()
+    r2 = warm.submit(p2, max_new_tokens=10)
+    warm.run_until_drained()
+    assert warm._prefix_cache.hits == 1
+
+    cold = make_engine(models, num_lanes=1, kv_quant=True)
+    c1 = cold.submit(p1, max_new_tokens=10)
+    c2 = cold.submit(p2, max_new_tokens=10)
+    cold.run_until_drained()
+    np.testing.assert_array_equal(r1.output_ids, c1.output_ids)
+    np.testing.assert_array_equal(r2.output_ids, c2.output_ids)
