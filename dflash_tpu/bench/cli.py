@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--quant", type=str, default="", choices=["", "int8"],
                    help="INT8 weight-only quantization of target + draft")
+    p.add_argument("--num-lanes", type=int, default=1,
+                   help=">1: decode prompts through the continuous-batching "
+                        "engine (N concurrent lanes).  The reference's "
+                        "benchmark_batched.py groups prompts but still decodes "
+                        "them sequentially (benchmark_batched.py:214); this "
+                        "actually batches the forward pass.  First turn of "
+                        "each sample only; implies --skip-baseline.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", type=str, default="vanilla",
                    choices=["vanilla", "candidates", "dynamic"])
@@ -162,6 +169,78 @@ def setup_jax_runtime(args) -> None:
         jax.config.update("jax_debug_nans", True)
 
 
+def _run_batched(args, tcfg, dcfg, t_params, d_params, tokenizer, rows,
+                 block_size, log) -> None:
+    """Batched-harness mode: all prompts through the continuous-batching
+    engine's vmapped lanes (reference benchmark_batched.py parity — except
+    the forward pass here is actually batched)."""
+    import jax
+    import time as _time
+
+    from dflash_tpu.engine.batching import ContinuousBatchingEngine, EngineConfig
+
+    eng = ContinuousBatchingEngine(
+        tcfg, dcfg, t_params, d_params,
+        EngineConfig(
+            num_lanes=args.num_lanes,
+            max_new_tokens=args.max_new_tokens,
+            block_size=block_size,
+            prompt_cap=args.prompt_cap,
+            temperature=args.temperature,
+            seed=args.seed,
+            stop_token_ids=(tokenizer.eos_token_id,)
+            if tokenizer.eos_token_id is not None else (),
+            emulate_tau=args.forced_tau,
+        ),
+    )
+    reqs = []
+    for idx, instance in enumerate(rows):
+        if len(instance["turns"]) > 1:
+            log(f"row {idx}: batched mode uses the first turn only")
+        text = tokenizer.apply_chat_template(
+            [{"role": "user", "content": instance["turns"][0]}],
+            tokenize=False, add_generation_prompt=True,
+        )
+        ids = np.asarray(tokenizer.encode(text))[: args.prompt_cap]
+        reqs.append((idx, eng.submit(ids)))
+    t0 = _time.perf_counter()
+    eng.run_until_drained()
+    wall = _time.perf_counter() - t0
+    log(f"drained {len(reqs)} requests in {wall:.2f}s")
+
+    records = []
+    total_tokens = 0
+    acc_lists = []
+    for lane_idx, (idx, req) in enumerate(reqs):
+        m = req.meta_info or {}
+        total_tokens += m.get("completion_tokens", 0)
+        acc_lists.append([m.get("spec_accept_length", 0.0)] if m else [])
+        records.append({
+            "dataset_row_idx": idx,
+            "local_batch_idx": lane_idx % args.num_lanes,
+            "prompt_batch_size": args.num_lanes,
+            "block_size": int(block_size),
+            "error": req.error,
+            **m,
+        })
+
+    from dflash_tpu.bench.metrics import mean_tau
+
+    print(f"Batched lanes: {args.num_lanes}")
+    print(f"Speculative total_wall_s: {wall:.6f}")
+    print(f"Speculative tokens_per_sec: {total_tokens / max(wall, 1e-9):.6f}")
+    print(f"Average Acceptance length: {mean_tau(acc_lists):.2f}")
+    print("Decoding speedup: N/A (baseline skipped)")
+    print(f"Hardware Device: {jax.devices()[0].device_kind}")
+    if args.save_outputs_path:
+        out_path = Path(args.save_outputs_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        with out_path.open("w", encoding="utf-8") as f:
+            for row in records:
+                f.write(json.dumps(row, ensure_ascii=False) + "\n")
+        print(f"Saved per-sample outputs to: {out_path}")
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     t_setup = time.perf_counter()
@@ -198,6 +277,10 @@ def main(argv=None) -> None:
     if args.max_samples is not None:
         rows = rows[: args.max_samples]
     log(f"dataset {args.dataset}: {len(rows)} rows")
+
+    if args.num_lanes > 1:
+        _run_batched(args, tcfg, dcfg, t_params, d_params, tokenizer, rows, block_size, log)
+        return
 
     engine = SpecEngine(
         tcfg, dcfg, t_params, d_params,

@@ -63,3 +63,24 @@ def test_multi_block_parse_block_sizes():
         parse_block_sizes("0,4")
     with pytest.raises(ValueError):
         parse_block_sizes(",")
+
+
+def test_cli_batched_lanes_mode(capsys, tmp_path):
+    """--num-lanes > 1 routes prompts through the continuous-batching engine
+    (reference benchmark_batched.py parity, with a genuinely batched forward)."""
+    from dflash_tpu.bench.cli import main
+
+    out_path = tmp_path / "batched.jsonl"
+    main([
+        "--model-name-or-path", "tiny", "--synthetic-data",
+        "--max-samples", "3", "--max-new-tokens", "16", "--prompt-cap", "128",
+        "--block-size", "4", "--num-lanes", "2",
+        "--save-outputs-path", str(out_path),
+    ])
+    out = capsys.readouterr().out
+    assert "Batched lanes: 2" in out
+    assert "Speculative tokens_per_sec:" in out
+    rows = [json.loads(l) for l in out_path.read_text().splitlines()]
+    assert len(rows) == 3
+    assert all(r["prompt_batch_size"] == 2 and r["error"] is None for r in rows)
+    assert all(r["completion_tokens"] >= 1 for r in rows)
