@@ -279,6 +279,8 @@ def main(argv=None) -> None:
     log(f"dataset {args.dataset}: {len(rows)} rows")
 
     if args.num_lanes > 1:
+        if args.mode != "vanilla":
+            raise SystemExit("--num-lanes > 1 supports --mode vanilla only")
         _run_batched(args, tcfg, dcfg, t_params, d_params, tokenizer, rows, block_size, log)
         return
 
