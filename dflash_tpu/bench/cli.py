@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--forced-tau", type=float, default=None,
                    help="Emulate a given mean acceptance length (benchmark-only; "
                         "for random-weight perf runs without trained drafts).")
+    p.add_argument("--warmup", action="store_true",
+                   help="run one unmeasured generation per executable before "
+                        "the measured loop (TPU compiles are minutes through "
+                        "a tunneled runtime; the reference's eager PyTorch "
+                        "has no equivalent cost, so single-sample runs would "
+                        "otherwise charge compilation to TPOT)")
     p.add_argument("--debug-nans", action="store_true",
                    help="jax_debug_nans: fail loudly on the first NaN (the "
                         "TPU-side sanitizer; the reference's determinism flags "
@@ -299,6 +305,17 @@ def main(argv=None) -> None:
     output_records = []
     cycle_trace_records = []
     indices = list(range(dist.rank(), len(rows), dist.size()))
+    if args.warmup and indices and args.mode == "vanilla":
+        w_text = tokenizer.apply_chat_template(
+            [{"role": "user", "content": rows[indices[0]]["turns"][0]}],
+            tokenize=False, add_generation_prompt=True,
+        )
+        w_ids = np.asarray(tokenizer.encode(w_text))[None, : args.prompt_cap]
+        if not args.skip_baseline:
+            engine.ar_generate(w_ids, temperature=args.temperature, seed=args.seed)
+        engine.generate(w_ids, temperature=args.temperature, seed=args.seed,
+                        forced_acc=forced, draft_steps=args.draft_steps)
+        log("warmup generation done (compiles excluded from metrics)")
     for idx in indices:
         instance = rows[idx]
         messages = []
