@@ -113,13 +113,21 @@ def _resolve_models(args):
         "llama31-8b": LLAMA31_8B,
     }
 
+    quant = getattr(args, "quant", "") == "int8"
     mp = Path(args.model_name_or_path)
     if mp.joinpath("config.json").exists():
         tcfg = model_config_from_hf(mp)
         t_params = load_target_params(mp, tcfg, dtype)
     elif args.model_name_or_path in presets:
         tcfg = presets[args.model_name_or_path]
-        t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, dtype)
+        if quant and args.model_name_or_path in ("qwen3-8b", "llama31-8b"):
+            # 8B-class random weights are generated DIRECTLY in int8 — the
+            # bf16 intermediate (~16GB) would not fit a v5e chip's HBM.
+            from dflash_tpu.quant.quantize import init_params_quantized
+
+            t_params = init_params_quantized(jax.random.PRNGKey(0), tcfg)
+        else:
+            t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, dtype)
     else:
         raise SystemExit(f"unknown model {args.model_name_or_path!r}; "
                          f"presets: {sorted(presets)} or a checkpoint dir")
@@ -138,10 +146,16 @@ def _resolve_models(args):
     else:
         raise SystemExit(f"unknown draft {args.draft_name_or_path!r}; "
                          "use a checkpoint dir or auto:<num_layers>")
-    if getattr(args, "quant", "") == "int8":
+    if quant:
+        from dflash_tpu.ops.linear import QTensor
         from dflash_tpu.quant import quantize_draft_params, quantize_target_params
 
-        t_params = quantize_target_params(t_params, tcfg)
+        already_int8 = any(
+            isinstance(x, QTensor) for x in jax.tree.leaves(
+                t_params, is_leaf=lambda x: isinstance(x, QTensor))
+        )
+        if not already_int8:
+            t_params = quantize_target_params(t_params, tcfg)
         d_params = quantize_draft_params(d_params, dcfg)
     return tcfg, dcfg, t_params, d_params
 
