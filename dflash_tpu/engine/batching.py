@@ -170,6 +170,10 @@ class ContinuousBatchingEngine:
         self._lane_req: List[Optional[Request]] = [None] * R
         self._lane_max_length = np.zeros((R,), np.int64)
         self._lane_prompt_len = np.zeros((R,), np.int64)
+        # Per-lane decode temperature (reference per-request sampling_params,
+        # benchmark_sglang.py:107-222): every cycle samples each lane's
+        # posterior at its own request's temperature.
+        self._lane_temp = np.full((R,), cfg.temperature, np.float32)
         self._rid = itertools.count()
         self._lock = threading.Lock()
         self._running = False
@@ -279,18 +283,17 @@ class ContinuousBatchingEngine:
         deliberate: nobody reads an idle lane (results are harvested the same
         step the lane finishes, and admission fully re-initializes a lane), so
         no freeze/select is needed and the executable stays branch-free.
-        Per-request temperatures currently share the engine temperature (a
-        per-lane temperature vector is the extension point)."""
+        Each lane decodes at its own request's temperature."""
         self._admit_pending()
         n_active = sum(r is not None for r in self._lane_req)
         if n_active == 0:
             return 0
 
         window = self._pick_window()
-        temp = jnp.float32(self.cfg.temperature)
+        temps = jnp.asarray(self._lane_temp, jnp.float32)
         max_lengths = jnp.asarray(self._lane_max_length, jnp.int32)
         self._state = self._cycle_fns[window](
-            self._state, self.t_params, self.d_params, temp, max_lengths
+            self._state, self.t_params, self.d_params, temps, max_lengths
         )
         self.cycle_count += window
 
@@ -418,6 +421,7 @@ class ContinuousBatchingEngine:
             self._lane_req[lane] = req
             self._lane_prompt_len[lane] = len(req.input_ids)
             self._lane_max_length[lane] = len(req.input_ids) + req.max_new_tokens
+            self._lane_temp[lane] = req.temperature
 
     def _admit_request(self, lane: int, req: Request) -> None:
         P = len(req.input_ids)
@@ -459,6 +463,7 @@ class ContinuousBatchingEngine:
         self._lane_req[lane] = req
         self._lane_prompt_len[lane] = P
         self._lane_max_length[lane] = P + req.max_new_tokens
+        self._lane_temp[lane] = req.temperature
 
     def _retire_finished(self) -> None:
         start = np.asarray(self._state.start)

@@ -102,7 +102,8 @@ def batched_decode(
     d_params,
     state: LoopState,  # leading request axis on every leaf
     max_lengths: jax.Array,  # [R]
-    temperature: jax.Array,
+    temperature: jax.Array,  # scalar or [R] per-lane (reference per-request
+    #   sampling_params, benchmark_sglang.py:107-222)
     *,
     tcfg: ModelConfig,
     dcfg: DraftConfig,
@@ -119,16 +120,17 @@ def batched_decode(
     # advance freely (their writes land at the frozen frontier, beyond the
     # committed region, and nobody reads a finished lane's cache again).
     R = max_lengths.shape[0]
+    temps = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (R,))
 
-    def cycle_one(st, fa):
+    def cycle_one(st, temp, fa):
         return _cycle(
-            st, t_params, d_params, temperature,
+            st, t_params, d_params, temp,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=fa,
         )
 
     fa_axis = None if forced_acc is None else 0
-    vcycle = jax.vmap(cycle_one, in_axes=(STATE_AXES, fa_axis), out_axes=STATE_AXES)
+    vcycle = jax.vmap(cycle_one, in_axes=(STATE_AXES, 0, fa_axis), out_axes=STATE_AXES)
 
     def lane_active(st):
         return (st.start < max_lengths) & (~st.done) & (st.cycle_idx < max_cycles)
@@ -137,7 +139,7 @@ def batched_decode(
         return jnp.any(lane_active(st))
 
     def body(st):
-        new = vcycle(st, forced_acc)
+        new = vcycle(st, temps, forced_acc)
         active = lane_active(st)
 
         def sel(old, new_):
@@ -163,7 +165,7 @@ def batched_cycles(
     state: LoopState,
     t_params,
     d_params,
-    temperature: jax.Array,
+    temperature: jax.Array,  # scalar or [R] per-lane
     max_lengths: jax.Array,  # [R] per-lane prompt_len + max_new_tokens
     *,
     tcfg: ModelConfig,
@@ -184,17 +186,18 @@ def batched_cycles(
     their caches advance harmlessly.
     """
     R = max_lengths.shape[0]
+    temps = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (R,))
     f = partial(
         _cycle, tcfg=tcfg, dcfg=dcfg, block_size=block_size,
         stop_token_ids=stop_token_ids, forced_acc=forced_acc,
     )
     vcycle = jax.vmap(
-        lambda st: f(st, t_params, d_params, temperature),
-        in_axes=(STATE_AXES,), out_axes=STATE_AXES,
+        lambda st, temp: f(st, t_params, d_params, temp),
+        in_axes=(STATE_AXES, 0), out_axes=STATE_AXES,
     )
 
     def body(_, st):
-        new = vcycle(st)
+        new = vcycle(st, temps)
         active = (st.start < max_lengths) & (~st.done)
 
         def sel(old, new_):
@@ -220,7 +223,7 @@ def batched_cycle(
     state: LoopState,
     t_params,
     d_params,
-    temperature: jax.Array,
+    temperature: jax.Array,  # scalar or [R] per-lane
     *,
     tcfg: ModelConfig,
     dcfg: DraftConfig,
@@ -229,6 +232,8 @@ def batched_cycle(
 ) -> LoopState:
     """One draft->verify->accept step for every active request (the unit the
     continuous-batching scheduler drives)."""
+    R = state.start.shape[0]
+    temps = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (R,))
     f = partial(
         _cycle,
         tcfg=tcfg,
@@ -236,8 +241,8 @@ def batched_cycle(
         block_size=block_size,
         stop_token_ids=stop_token_ids,
     )
-    return jax.vmap(f, in_axes=(STATE_AXES, None, None, None), out_axes=STATE_AXES)(
-        state, t_params, d_params, temperature
+    return jax.vmap(f, in_axes=(STATE_AXES, None, None, 0), out_axes=STATE_AXES)(
+        state, t_params, d_params, temps
     )
 
 

@@ -101,6 +101,23 @@ def test_stop_tokens_respected(models):
     assert int(req.output_ids[0, -1]) in range(0, 256)
 
 
+def test_per_lane_temperature_decode(models):
+    """Per-request sampling params (reference benchmark_sglang.py:107-222):
+    a T=0 request decodes greedily even while a T=0.8 request shares the
+    batched cycle — its output must match its solo greedy run exactly, and
+    the hot lane must actually sample (differ from greedy)."""
+    solo = make_engine(models, num_lanes=1, max_new_tokens=12)
+    ref = solo.submit(np.asarray([5, 6, 7]), temperature=0.0)
+    solo.run_until_drained()
+
+    eng = make_engine(models, num_lanes=2, max_new_tokens=12, temperature=0.7)
+    cold = eng.submit(np.asarray([5, 6, 7]), temperature=0.0)
+    hot = eng.submit(np.asarray([5, 6, 7]), temperature=0.8)
+    eng.run_until_drained()
+    np.testing.assert_array_equal(cold.output_ids, ref.output_ids)
+    assert not np.array_equal(hot.output_ids, ref.output_ids)
+
+
 def test_http_server_generate_and_flush(models):
     from dflash_tpu.bench.tokenizer import SyntheticTokenizer
     from dflash_tpu.engine.server import EngineHTTPServer
