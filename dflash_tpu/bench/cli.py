@@ -58,7 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-cycle-trace-path", type=str, default=None)
     p.add_argument("--forced-tau", type=float, default=None,
                    help="Emulate a given mean acceptance length (benchmark-only; "
-                        "for random-weight perf runs without trained drafts).")
+                        "for random-weight perf runs without trained drafts). "
+                        "Reaches every mode: vanilla/profiled/batched use it "
+                        "directly; candidates force the winner's accept; "
+                        "dynamic scales it per block size along the reference "
+                        "block-sweep tau curve (value = tau at B=16).")
     p.add_argument("--warmup", action="store_true",
                    help="run one unmeasured generation per executable before "
                         "the measured loop (TPU compiles are minutes through "
@@ -166,6 +170,28 @@ def make_forced_acc(n: int, block_size: int, tau_target: float, seed: int = 0):
     frac = tau_target - lo
     taus = np.where(rng.random(n) < frac, lo + 1, lo)
     return (np.clip(taus, 1, block_size) - 1).astype(np.int32)
+
+
+# Reference block-sweep tau curve (reference results.md:9-16, AIME25): the
+# emulated tau for the dynamic-scheduler study must depend on block size or
+# the scheduler degenerates to "smallest block always wins".
+_REF_TAU_CURVE = {4: 3.46, 8: 5.46, 12: 6.80, 16: 7.67, 20: 6.40, 24: 5.04}
+
+
+def tau_for_block(block_size: int, tau16: float) -> float:
+    """Mean tau to emulate at ``block_size``: the reference block-sweep curve
+    linearly interpolated and rescaled so curve(16) == ``tau16``."""
+    xs = sorted(_REF_TAU_CURVE)
+    base = float(np.interp(block_size, xs, [_REF_TAU_CURVE[x] for x in xs]))
+    return float(np.clip(base * (tau16 / _REF_TAU_CURVE[16]), 1.0, block_size))
+
+
+def make_forced_acc_by_bs(n: int, candidates, tau16: float, seed: int = 0) -> dict:
+    """Per-block-size acceptance overrides for the dynamic-scheduler path."""
+    return {
+        int(bs): make_forced_acc(n, int(bs), tau_for_block(int(bs), tau16), seed)
+        for bs in candidates
+    }
 
 
 def setup_jax_runtime(args) -> None:
@@ -364,7 +390,9 @@ def main(argv=None) -> None:
                     margin_threshold=args.margin_threshold,
                     adaptive=args.adaptive_candidates,
                 )
-                spec = candidate_generate(engine, input_ids, cc, temperature=args.temperature)
+                spec = candidate_generate(engine, input_ids, cc,
+                                          temperature=args.temperature,
+                                          forced_acc=forced)
                 spec = SimpleNamespace(**spec._asdict(), profile_summary=None, cycle_trace=[])
             elif args.mode == "dynamic":
                 from dflash_tpu.sched import EWMAScheduler, SchedulerConfig
@@ -378,9 +406,15 @@ def main(argv=None) -> None:
                     switch_margin=args.switch_margin,
                     probe_interval=args.probe_interval,
                 ))
+                forced_by_bs = None
+                if args.forced_tau is not None:
+                    forced_by_bs = make_forced_acc_by_bs(
+                        args.max_new_tokens, candidates, args.forced_tau, args.seed
+                    )
                 spec_r, used, trace, snap = policy_generate(
                     engine, input_ids, scheduler=sched,
                     temperature=args.temperature, collect_trace=True,
+                    forced_acc_by_bs=forced_by_bs,
                 )
                 spec = SimpleNamespace(**spec_r._asdict(), profile_summary=None,
                                        cycle_trace=trace, used_block_sizes=used,

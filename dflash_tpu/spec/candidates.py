@@ -270,6 +270,7 @@ def _candidate_cycle(
     block_size: int,
     stop_token_ids: Tuple[int, ...],
     cc: CandidateConfig,
+    forced_acc: Optional[jax.Array] = None,
 ) -> LoopState:
     B = block_size
     C = cc.max_candidates
@@ -322,6 +323,15 @@ def _candidate_cycle(
         - jnp.arange(C, dtype=jnp.float32) * 1e-5
     winner = jnp.argmax(composite)
     acc = acc_all[winner]
+    if forced_acc is not None:
+        # Benchmark-only acceptance override (same contract as the vanilla
+        # engine, spec/engine.py _verify_stage): emulates a target tau
+        # distribution for cost studies when no trained draft checkpoint is
+        # reachable.  Candidate building, the C-way batched verify, winner
+        # selection and block-K/V commit all run identically — only the
+        # accepted-prefix length is overridden.
+        f = forced_acc[state.cycle_idx]
+        acc = jnp.where(f >= 0, jnp.minimum(f, block_size - 1), acc)
     tau = acc + 1
 
     # commit winner tokens + bonus
@@ -382,6 +392,7 @@ def _candidate_decode_impl(
     stop_token_ids: Tuple[int, ...],
     max_cycles: int,
     cc: CandidateConfig,
+    forced_acc: Optional[jax.Array] = None,
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -390,7 +401,7 @@ def _candidate_decode_impl(
         return _candidate_cycle(
             s, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
-            stop_token_ids=stop_token_ids, cc=cc,
+            stop_token_ids=stop_token_ids, cc=cc, forced_acc=forced_acc,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -408,6 +419,7 @@ def candidate_generate(
     cc: CandidateConfig,
     temperature: float = 0.0,
     seed: int = 0,
+    forced_acc: Optional[np.ndarray] = None,
 ) -> GenerationResult:
     """Full multi-candidate generation on the given engine's models."""
     ids, prompt_len, _ = engine._pad_prompt(input_ids)
@@ -415,6 +427,10 @@ def candidate_generate(
     temp = jnp.float32(temperature)
     plen = jnp.int32(prompt_len)
     max_length = jnp.int32(prompt_len + engine.max_new_tokens)
+    if forced_acc is not None:
+        fa = np.full((engine.max_new_tokens,), -1, np.int32)
+        fa[: len(forced_acc)] = np.asarray(forced_acc, np.int32)[: engine.max_new_tokens]
+        forced_acc = jnp.asarray(fa)
 
     t0 = time.perf_counter()
     state = _prefill(
@@ -430,7 +446,7 @@ def candidate_generate(
         engine.t_params, engine.d_params, state, max_length, temp,
         tcfg=engine.tcfg, dcfg=engine.dcfg, block_size=engine.block_size,
         stop_token_ids=engine.stop_token_ids, max_cycles=engine.max_new_tokens,
-        cc=cc,
+        cc=cc, forced_acc=forced_acc,
     )
     state.output_ids.block_until_ready()
     decode_wall = time.perf_counter() - t1

@@ -41,12 +41,19 @@ def policy_generate(
     temperature: float = 0.0,
     seed: int = 0,
     collect_trace: bool = False,
+    forced_acc_by_bs: Optional[dict] = None,
 ):
     """Generate with a per-cycle block-size policy.
 
     ``engine`` must have been built with ``block_size >= max(candidates)``
     (its buffers are sized from it).  Returns (GenerationResult,
     used_block_sizes, cycle_trace, scheduler_snapshot).
+
+    ``forced_acc_by_bs`` (benchmark-only): {block_size: [max_cycles] int32}
+    acceptance overrides, one array per candidate block size — the emulated
+    tau must DEPEND on the block size (reference block-sweep tau curve,
+    results.md:9-16), otherwise the scheduler would trivially pick the
+    smallest block (same tau, cheaper cycle) and the study measures nothing.
     """
     if scheduler is None and fixed_block_size is None:
         raise ValueError("either scheduler or fixed_block_size is required")
@@ -73,6 +80,15 @@ def policy_generate(
         )
         for bs in candidates
     }
+
+    forced_jnp = None
+    if forced_acc_by_bs is not None:
+        forced_jnp = {}
+        for bs in candidates:
+            fa = np.full((engine.max_new_tokens,), -1, np.int32)
+            arr = np.asarray(forced_acc_by_bs[bs], np.int32)[: engine.max_new_tokens]
+            fa[: len(arr)] = arr
+            forced_jnp[bs] = jnp.asarray(fa)
 
     ids, prompt_len, _ = engine._pad_prompt(input_ids)
     key = jax.random.PRNGKey(seed)
@@ -104,10 +120,16 @@ def policy_generate(
             else scheduler.select(cycle_idx)
         )
         c0 = time.perf_counter()
-        state, aux = cycle_fns[bs](
-            state, engine.t_params, engine.d_params, temp,
-            draft_temperature=temp,
-        )
+        if forced_jnp is not None:
+            state, aux = cycle_fns[bs](
+                state, engine.t_params, engine.d_params, temp,
+                draft_temperature=temp, forced_acc=forced_jnp[bs],
+            )
+        else:
+            state, aux = cycle_fns[bs](
+                state, engine.t_params, engine.d_params, temp,
+                draft_temperature=temp,
+            )
         tau = int(aux.tau)  # device sync — intentional (time-fed policy)
         cycle_s = time.perf_counter() - c0
         l_gen = float(aux.l_gen)

@@ -65,6 +65,24 @@ def test_multi_block_parse_block_sizes():
         parse_block_sizes(",")
 
 
+def test_tau_for_block_follows_reference_curve():
+    from dflash_tpu.bench.cli import make_forced_acc_by_bs, tau_for_block
+
+    # At tau16 == the reference's own 7.67 the curve is reproduced verbatim.
+    assert abs(tau_for_block(16, 7.67) - 7.67) < 1e-9
+    assert abs(tau_for_block(8, 7.67) - 5.46) < 1e-9
+    # Rescaled: tau(B) ratios preserved, clamped to [1, B].
+    assert abs(tau_for_block(16, 7.48) - 7.48) < 1e-9
+    assert tau_for_block(4, 7.48) <= 4.0
+    # Interpolation between sweep points is monotone there.
+    assert 5.46 < tau_for_block(10, 7.67) < 6.80
+    by_bs = make_forced_acc_by_bs(512, (8, 12, 16), 7.48, seed=0)
+    for bs, arr in by_bs.items():
+        assert arr.shape == (512,)
+        mean_tau = float(arr.mean()) + 1.0
+        assert abs(mean_tau - tau_for_block(bs, 7.48)) < 0.15, (bs, mean_tau)
+
+
 def test_cli_batched_lanes_mode(capsys, tmp_path):
     """--num-lanes > 1 routes prompts through the continuous-batching engine
     (reference benchmark_batched.py parity, with a genuinely batched forward)."""

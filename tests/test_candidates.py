@@ -126,6 +126,26 @@ def test_candidate_decode_matches_ar_greedy(mode):
     assert all(1 <= t <= 6 for t in res.acceptance_lengths)
 
 
+def test_candidate_forced_acc_overrides_tau():
+    """--forced-tau must reach the candidate path (reference cost studies run
+    at operative tau~7.9, reference results.md:480-515): the per-cycle tau
+    trace must follow the forced pattern exactly."""
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=6, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, DTYPE)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, DTYPE)
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=18,
+        block_size=6, prompt_cap=32, prompt_bucket=16,
+    )
+    prompt = np.asarray([[3, 4, 5, 6]])
+    cc = CandidateConfig(mode="fixed_prefix_rank", max_candidates=3, rank_top_k=3)
+    forced = np.asarray([4, 2, 4, 2, 4, 2, 4, 2], np.int32)  # acc values
+    res = candidate_generate(engine, prompt, cc, temperature=0.0, forced_acc=forced)
+    expect = (forced + 1).tolist()[: len(res.acceptance_lengths)]
+    assert res.acceptance_lengths == expect
+
+
 def test_candidate_decode_adaptive_budget_runs():
     tcfg = tiny_target_config()
     dcfg = tiny_draft_config(tcfg, block_size=6, num_layers=2)

@@ -84,6 +84,38 @@ def test_adl_mode_tracks_lgen_and_restricts_pool():
     assert s.adl_target_bs == 8
 
 
+def test_policy_forced_acc_by_bs_follows_block_size():
+    """The dynamic path's emulated tau must depend on the selected block size
+    (reference block-sweep curve, results.md:9-16): every cycle's tau equals
+    the forced value for the block size the scheduler actually picked."""
+    import jax
+    import jax.numpy as jnp
+    from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+    from dflash_tpu.models import dflash_draft, qwen3
+    from dflash_tpu.spec.engine import SpecEngine
+    from dflash_tpu.spec.policy import policy_generate
+
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=24,
+        block_size=8, prompt_cap=32, prompt_bucket=16,
+    )
+    prompt = np.asarray([[3, 4, 5, 6]])
+    n = engine.max_new_tokens
+    forced = {4: np.full((n,), 2, np.int32), 8: np.full((n,), 5, np.int32)}
+    sched = EWMAScheduler(SchedulerConfig(candidates=(4, 8), warmup_cycles=2))
+    res, used, trace, snap = policy_generate(
+        engine, prompt, scheduler=sched, temperature=0.0,
+        forced_acc_by_bs=forced,
+    )
+    for tau, bs in zip(res.acceptance_lengths, used):
+        assert tau == int(forced[bs][0]) + 1, (tau, bs)
+    assert set(used) == {4, 8}  # warmup round-robin probes both
+
+
 def test_policy_decode_matches_ar_greedy():
     """The dynamic-schedule path must still produce exactly the AR tokens."""
     import jax
