@@ -108,14 +108,24 @@ def _resolve_models(args):
     from dflash_tpu.models import dflash_draft, qwen3
     from dflash_tpu.models.loader import load_draft_params, load_target_params
 
+    import dataclasses as _dc
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     presets = {
         "tiny": tiny_target_config(num_key_value_heads=2),
         "qwen3-4b": QWEN3_4B,
         "qwen3-8b": QWEN3_8B,
         "qwen3-30b-a3b": QWEN3_CODER_30B_A3B,
+        # Layer-scaled 30B-A3B: the full 48-layer expert stack is ~29GB even
+        # int8 (>16GB v5e HBM); 16 layers (~10GB experts) keep the exact
+        # per-layer geometry — per-cycle costs scale linearly in L, so the
+        # full-model number is 3x the measured per-layer cost.
+        "qwen3-30b-a3b-l16": _dc.replace(QWEN3_CODER_30B_A3B, num_hidden_layers=16),
         "llama31-8b": LLAMA31_8B,
     }
+    # Presets whose bf16 random init would not fit a 16GB chip: generate
+    # weights DIRECTLY in int8 when --quant int8 is given.
+    direct_int8 = ("qwen3-8b", "llama31-8b", "qwen3-30b-a3b", "qwen3-30b-a3b-l16")
 
     quant = getattr(args, "quant", "") == "int8"
     mp = Path(args.model_name_or_path)
@@ -124,9 +134,7 @@ def _resolve_models(args):
         t_params = load_target_params(mp, tcfg, dtype)
     elif args.model_name_or_path in presets:
         tcfg = presets[args.model_name_or_path]
-        if quant and args.model_name_or_path in ("qwen3-8b", "llama31-8b"):
-            # 8B-class random weights are generated DIRECTLY in int8 — the
-            # bf16 intermediate (~16GB) would not fit a v5e chip's HBM.
+        if quant and args.model_name_or_path in direct_int8:
             from dflash_tpu.quant.quantize import init_params_quantized
 
             t_params = init_params_quantized(jax.random.PRNGKey(0), tcfg)

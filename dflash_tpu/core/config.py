@@ -116,9 +116,14 @@ def tiny_target_config(**kw) -> ModelConfig:
 
 
 def tiny_draft_config(target: ModelConfig, block_size: int = 8, num_layers: int = 2, **kw) -> DraftConfig:
+    # Draft decoder layers are always dense (reference model/dflash.py:104-145),
+    # even for MoE targets.
     model = dataclasses.replace(
         target,
         num_hidden_layers=num_layers,
+        num_experts=0,
+        num_experts_per_tok=0,
+        moe_intermediate_size=0,
         **kw,
     )
     return DraftConfig(
@@ -190,8 +195,15 @@ def dflash_draft_config(
     mask_token_id: int = 151_669,
     target_layer_ids: Optional[Tuple[int, ...]] = None,
 ) -> DraftConfig:
-    """Build a DFlash draft config for a given target (z-lab checkpoint style)."""
-    model = dataclasses.replace(target, num_hidden_layers=num_draft_layers)
+    """Build a DFlash draft config for a given target (z-lab checkpoint style).
+
+    The draft is always DENSE (reference model/dflash.py:104-145 uses plain
+    Qwen3MLP decoder layers) even when the target is MoE — for an MoE target
+    the draft's MLP width falls back to ``target.intermediate_size``."""
+    model = dataclasses.replace(
+        target, num_hidden_layers=num_draft_layers,
+        num_experts=0, num_experts_per_tok=0, moe_intermediate_size=0,
+    )
     if target_layer_ids is None:
         target_layer_ids = build_target_layer_ids(target.num_hidden_layers, num_draft_layers)
     return DraftConfig(

@@ -29,7 +29,7 @@ from dflash_tpu.ops.attention import (
     gqa_attention_quant,
     gqa_attention_quant_bucketed,
 )
-from dflash_tpu.ops.linear import linear
+from dflash_tpu.ops.linear import QTensor, linear
 from dflash_tpu.ops.norms import rms_norm
 from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -157,14 +157,63 @@ def _route(lp: dict, cfg: ModelConfig, xt: jax.Array):
     return topk_p, topk_i, combine
 
 
+def _experts_all(gate, up, down, xt: jax.Array, combine: jax.Array) -> jax.Array:
+    """Dense all-experts dispatch: every expert processes every token; the
+    combine matrix (zero for unselected (token, expert) pairs) folds the
+    outputs.  Reads each expert's weights exactly ONCE — at verify-block
+    token counts (T*k >~ E) most experts are selected anyway, and the gather
+    path's materialized [T, k, H, Im] weight copies cost more HBM traffic
+    than streaming the whole bank.  gate/up: [E, H, Im] (bf16 or int8
+    QTensor, per-expert scales [E, 1, Im]); down: [E, Im, H]; combine:
+    [T, E].  Returns [T, H] float32 partial output (caller psums under EP).
+    """
+    # Explicit HIGHEST precision: XLA lowers the "th,ehi->eti" batched form
+    # to a reduced-precision matmul under default precision when xt is f32
+    # (measured ~2e-3 rel error vs the gather contraction's exact f32) —
+    # enough to break the spec==AR oracle.  With bf16 activations (the TPU
+    # perf path) the flag is a no-op: bf16 x bf16 -> f32 is MXU-native.
+    hi = jax.lax.Precision.HIGHEST
+    if isinstance(gate, QTensor):
+        # int8 -> bf16 convert fuses into the einsum; the per-expert
+        # per-channel scale is applied to the f32 output (same recipe as
+        # ops/linear.py — no dequantized copy is materialized).
+        g = jnp.einsum(
+            "th,ehi->eti", xt, gate.q.astype(xt.dtype),
+            preferred_element_type=jnp.float32, precision=hi,
+        ) * gate.scale
+        u = jnp.einsum(
+            "th,ehi->eti", xt, up.q.astype(xt.dtype),
+            preferred_element_type=jnp.float32, precision=hi,
+        ) * up.scale
+        act = (jax.nn.silu(g) * u).astype(xt.dtype)[..., : gate.n]
+        o = jnp.einsum(
+            "eti,eih->eth", act, down.q.astype(xt.dtype),
+            preferred_element_type=jnp.float32, precision=hi,
+        ) * down.scale
+        o = o[..., : down.n]
+    else:
+        g = jnp.einsum("th,ehi->eti", xt, gate,
+                       preferred_element_type=jnp.float32, precision=hi)
+        u = jnp.einsum("th,ehi->eti", xt, up,
+                       preferred_element_type=jnp.float32, precision=hi)
+        act = (jax.nn.silu(g) * u).astype(xt.dtype)
+        o = jnp.einsum("eti,eih->eth", act, down,
+                       preferred_element_type=jnp.float32, precision=hi)
+    return jnp.einsum("eth,te->th", o, combine.astype(jnp.float32), precision=hi)
+
+
 def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
-    """Top-k routed expert MLP.
+    """Top-k routed expert MLP (bf16 or int8-QTensor expert banks).
 
-    Two dispatch strategies:
+    Three dispatch strategies, all static-shape:
 
-    * **Gather** (default / single device): pull the selected experts'
-      weights per (token, k) pair and run batched per-pair matmuls.  Reads
-      only the active experts — right for tiny decode/verify token counts.
+    * **Gather** (single device, small token counts): pull the selected
+      experts' weights per (token, k) pair and run batched per-pair matmuls.
+      Reads only the active experts — right for AR decode (T=1).
+    * **Dense-all** (single device, T*k >= E): every expert processes every
+      token, combine folds the outputs (:func:`_experts_all`).  At
+      verify-block token counts most experts are hit anyway and the whole
+      bank streams once with zero gather-materialization traffic.
     * **Expert-parallel** (``mesh`` given with experts sharded over
       (ep, tp), parallel/mesh.py): shard_map keeps every expert table
       resident on its shard, replicates the (tiny) activations, computes all
@@ -172,9 +221,7 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
       psums the partial outputs.  For B<=32-token verify blocks this beats
       an all-to-all dispatch: the routed activation payload is tiny while
       expert weights never move — the all-to-all latency the survey flags
-      (SURVEY §7 hard part 6) is avoided entirely, at the cost of computing
-      unselected local experts (with T*k draws over E experts most experts
-      are hit anyway).
+      (SURVEY §7 hard part 6) is avoided entirely.
     """
     b, s, h = x.shape
     xt = x.reshape(b * s, h)
@@ -190,14 +237,9 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
         _, _, combine = _route(lp, cfg, xt)
 
         def local_experts(gate, up, down, xt, combine_loc):
-            # gate/up: [E_loc, H, Im]; down: [E_loc, Im, H];
             # combine_loc: [T, E_loc] — shard_map pre-slices the columns, so
             # expert-index offsets never appear explicitly.
-            g = jnp.einsum("th,ehi->eti", xt, gate, preferred_element_type=jnp.float32)
-            u = jnp.einsum("th,ehi->eti", xt, up, preferred_element_type=jnp.float32)
-            act = (jax.nn.silu(g) * u).astype(xt.dtype)
-            o = jnp.einsum("eti,eih->eth", act, down, preferred_element_type=jnp.float32)
-            o = jnp.einsum("eth,te->th", o, combine_loc.astype(jnp.float32))
+            o = _experts_all(gate, up, down, xt, combine_loc)
             return jax.lax.psum(o, ("ep", "tp"))
 
         ep_spec = P(("ep", "tp"))
@@ -210,16 +252,46 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
         )(lp["gate"], lp["up"], lp["down"], xt, combine)
         return out.astype(x.dtype).reshape(b, s, h)
 
-    topk_p, topk_i, _ = _route(lp, cfg, xt)
+    topk_p, topk_i, combine = _route(lp, cfg, xt)
+    if b * s * cfg.num_experts_per_tok >= cfg.num_experts:
+        out = _experts_all(lp["gate"], lp["up"], lp["down"], xt, combine)
+        return out.astype(x.dtype).reshape(b, s, h)
     # Gather the selected experts' weights per token.  For the tiny token
     # counts of a verify/decode step this reads only the active experts.
-    gate_w = jnp.take(lp["gate"], topk_i, axis=0)  # [T, k, H, Im]
-    up_w = jnp.take(lp["up"], topk_i, axis=0)
-    down_w = jnp.take(lp["down"], topk_i, axis=0)  # [T, k, Im, H]
-    g = jnp.einsum("th,tkhi->tki", xt, gate_w, preferred_element_type=jnp.float32)
-    u = jnp.einsum("th,tkhi->tki", xt, up_w, preferred_element_type=jnp.float32)
-    act = (jax.nn.silu(g) * u).astype(x.dtype)
-    out = jnp.einsum("tki,tkih->tkh", act, down_w, preferred_element_type=jnp.float32)
+    if isinstance(lp["gate"], QTensor):
+        # INT8 expert banks: gather the int8 tiles + per-expert per-channel
+        # scales; the int8 -> bf16 convert fuses into the einsum and the
+        # scale is applied to the f32 output (see ops/linear.py) — expert
+        # HBM traffic per cycle is halved vs bf16 experts.
+        gate_w, up_w, down_w = lp["gate"], lp["up"], lp["down"]
+        gq = jnp.take(gate_w.q, topk_i, axis=0)  # [T, k, H, Im]
+        gs = jnp.take(gate_w.scale, topk_i, axis=0)[:, :, 0, :]  # [T, k, Im]
+        uq = jnp.take(up_w.q, topk_i, axis=0)
+        us = jnp.take(up_w.scale, topk_i, axis=0)[:, :, 0, :]
+        g = jnp.einsum(
+            "th,tkhi->tki", xt, gq.astype(xt.dtype),
+            preferred_element_type=jnp.float32,
+        ) * gs
+        u = jnp.einsum(
+            "th,tkhi->tki", xt, uq.astype(xt.dtype),
+            preferred_element_type=jnp.float32,
+        ) * us
+        act = (jax.nn.silu(g) * u).astype(x.dtype)[..., : gate_w.n]
+        dq = jnp.take(down_w.q, topk_i, axis=0)  # [T, k, Im, H]
+        ds = jnp.take(down_w.scale, topk_i, axis=0)[:, :, 0, :]  # [T, k, H]
+        out = jnp.einsum(
+            "tki,tkih->tkh", act, dq.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * ds
+        out = out[..., : down_w.n]
+    else:
+        gate_w = jnp.take(lp["gate"], topk_i, axis=0)  # [T, k, H, Im]
+        up_w = jnp.take(lp["up"], topk_i, axis=0)
+        down_w = jnp.take(lp["down"], topk_i, axis=0)  # [T, k, Im, H]
+        g = jnp.einsum("th,tkhi->tki", xt, gate_w, preferred_element_type=jnp.float32)
+        u = jnp.einsum("th,tkhi->tki", xt, up_w, preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(g) * u).astype(x.dtype)
+        out = jnp.einsum("tki,tkih->tkh", act, down_w, preferred_element_type=jnp.float32)
     out = jnp.sum(out * topk_p[..., None], axis=1)
     return out.astype(x.dtype).reshape(b, s, h)
 

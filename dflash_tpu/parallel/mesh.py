@@ -121,5 +121,27 @@ def draft_param_shardings(cfg: DraftConfig, mesh: Mesh):
 
 
 def shard_params(params, shardings):
-    """Place a params pytree onto the mesh according to ``shardings``."""
-    return jax.tree.map(jax.device_put, params, shardings)
+    """Place a params pytree onto the mesh according to ``shardings``.
+
+    INT8 ``QTensor`` params are one node in ``params`` but one sharding leaf
+    in ``shardings``: the same spec is applied to both the int8 values and
+    the (rank-matched, size-1 reduced axis) scales."""
+    from dflash_tpu.ops.linear import QTensor
+
+    def put(p, s):
+        if isinstance(p, QTensor):
+            # Scales keep size-1 where the quantization reduced an axis; a
+            # sharded size-1 axis is indivisible, so those revert to None.
+            parts = list(s.spec) + [None] * (p.scale.ndim - len(s.spec))
+            sspec = P(*[
+                None if p.scale.shape[i] == 1 else parts[i]
+                for i in range(p.scale.ndim)
+            ])
+            return QTensor(
+                jax.device_put(p.q, s),
+                jax.device_put(p.scale, NamedSharding(s.mesh, sspec)),
+                p.n,
+            )
+        return jax.device_put(p, s)
+
+    return jax.tree.map(put, params, shardings, is_leaf=lambda x: isinstance(x, QTensor))

@@ -5,7 +5,16 @@ weight-only recipe: activations stay bf16, the MXU consumes dequantized bf16
 tiles — see kernels/matmul_q.py).  Norm weights and the embedding table stay
 bf16 (the embedding is a gather, not a matmul); for tied-embedding models a
 quantized ``lm_head`` copy is materialized so the vocab projection still runs
-int8.  MoE expert banks are currently kept bf16 (per-expert gather path).
+int8.
+
+MoE expert banks ([L, E, K, N] gate/up/down) are quantized per (layer,
+expert, output channel) — the scale granularity that keeps int8 experts
+acceptance-safe.  Expert banks are the reason a Qwen3-Coder-30B-A3B-class
+target (reference README.md:60-68) is HBM-feasible at all: experts are ~97%
+of its weights.  They are quantized UNPADDED (pad_to=1): both the gather
+path and the EP shard_map path consume them through einsums, which need no
+tile padding, and padding 768 -> 1024 would waste a third of expert HBM.
+The router stays bf16 (tiny, and routing is precision-sensitive).
 """
 
 from __future__ import annotations
@@ -31,6 +40,15 @@ def _quantize_stacked(w: jax.Array, pad_to: int) -> QTensor:
     return jax.jit(lambda x: jax.lax.map(partial(quantize_weight, pad_to=pad_to), x))(w)
 
 
+def _quantize_expert_stacked(w: jax.Array) -> QTensor:
+    """Quantize an expert bank [L, E, K, N] per (layer, expert, out-channel).
+
+    Nested ``lax.map`` (sequential over layers AND experts) bounds the fp32
+    transient to one [K, N] expert matrix at a time."""
+    per_layer = lambda le: jax.lax.map(partial(quantize_weight, pad_to=1), le)
+    return jax.jit(lambda x: jax.lax.map(per_layer, x))(w)
+
+
 def _quantize_layers(layers: dict, cfg: ModelConfig, pad_to: int) -> dict:
     """Quantize the matmul weights of a layer-stack dict IN PLACE.
 
@@ -40,10 +58,12 @@ def _quantize_layers(layers: dict, cfg: ModelConfig, pad_to: int) -> dict:
     for key in _MATMUL_KEYS:
         if key not in layers:
             continue
-        if cfg.is_moe and key in ("gate", "up", "down"):
-            continue  # expert banks stay bf16 for now (gather path)
         w = layers.pop(key)
-        layers[key] = jax.block_until_ready(_quantize_stacked(w, pad_to))
+        if cfg.is_moe and key in ("gate", "up", "down"):
+            # [L, E, K, N] expert bank: per-expert scales, unpadded.
+            layers[key] = jax.block_until_ready(_quantize_expert_stacked(w))
+        else:
+            layers[key] = jax.block_until_ready(_quantize_stacked(w, pad_to))
         del w  # last reference to the bf16 stack
     return layers
 
@@ -72,15 +92,18 @@ def init_params_quantized(key: jax.Array, cfg: ModelConfig, pad_to: int = 512) -
     materializing the bf16 weights."""
     from dflash_tpu.models import qwen3
 
-    def q(shape, k):
+    def q(shape, k, pad: int = pad_to):
         K, N = shape[-2], shape[-1]
-        Np = ((N + pad_to - 1) // pad_to) * pad_to if pad_to > 1 else N
+        Np = ((N + pad - 1) // pad) * pad if pad > 1 else N
 
         def one(kk):
             vals = jax.random.randint(kk, shape[-2:-1] + (Np,), -127, 128, jnp.int8)
             scale = jnp.full((1, Np), 0.02 * 2.5 / 127.0, jnp.float32)
             return QTensor(vals, scale, N)
 
+        if len(shape) == 4:  # [L, E, K, N] expert bank (unpadded, see module doc)
+            kk = jax.random.split(k, shape[0] * shape[1]).reshape(shape[0], shape[1], 2)
+            return jax.vmap(jax.vmap(one))(kk)
         if len(shape) == 3:
             return jax.vmap(one)(jax.random.split(k, shape[0]))
         return one(k)
@@ -95,10 +118,19 @@ def init_params_quantized(key: jax.Array, cfg: ModelConfig, pad_to: int = 512) -
         "wk": q((L, H, nkv * d), next(keys)),
         "wv": q((L, H, nkv * d), next(keys)),
         "wo": q((L, nh * d, H), next(keys)),
-        "gate": q((L, H, I), next(keys)),
-        "up": q((L, H, I), next(keys)),
-        "down": q((L, I, H), next(keys)),
     }
+    if cfg.is_moe:
+        E, Im = cfg.num_experts, cfg.moe_intermediate_size
+        layers["router"] = (
+            jax.random.normal(next(keys), (L, H, E), jnp.float32) * 0.02
+        ).astype(jnp.bfloat16)
+        layers["gate"] = q((L, E, H, Im), next(keys), pad=1)
+        layers["up"] = q((L, E, H, Im), next(keys), pad=1)
+        layers["down"] = q((L, E, Im, H), next(keys), pad=1)
+    else:
+        layers["gate"] = q((L, H, I), next(keys))
+        layers["up"] = q((L, H, I), next(keys))
+        layers["down"] = q((L, I, H), next(keys))
     if cfg.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, d), jnp.bfloat16)
         layers["k_norm"] = jnp.ones((L, d), jnp.bfloat16)

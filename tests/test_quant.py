@@ -79,6 +79,108 @@ def test_spec_equals_ar_with_quantized_params():
     np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
 
 
+def _tiny_moe_cfg():
+    import dataclasses
+
+    tcfg = tiny_target_config()
+    return dataclasses.replace(
+        tcfg, num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32
+    )
+
+
+def test_moe_expert_quantization_numerics():
+    """INT8 expert banks (per layer, per expert, per out-channel scales) must
+    track the bf16 gather dispatch closely, and the quantized pytree must
+    carry QTensor expert banks of the right shapes."""
+    from dflash_tpu.models.qwen3 import _moe_mlp
+
+    tcfg = _tiny_moe_cfg()
+    params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    lp_dense = jax.tree.map(lambda x: x[0], params["layers"])
+
+    qparams = quantize_target_params(
+        qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32), tcfg, pad_to=64
+    )
+    gate = qparams["layers"]["gate"]
+    E, Im = tcfg.num_experts, tcfg.moe_intermediate_size
+    L, H = tcfg.num_hidden_layers, tcfg.hidden_size
+    assert isinstance(gate, QTensor)
+    assert gate.q.shape == (L, E, H, Im) and gate.q.dtype == jnp.int8
+    assert gate.scale.shape == (L, E, 1, Im)
+    assert qparams["layers"]["down"].q.shape == (L, E, Im, H)
+    assert qparams["layers"]["router"].dtype != jnp.int8  # router stays dense
+
+    def _layer0(x):
+        if isinstance(x, QTensor):
+            return QTensor(x.q[0], x.scale[0], x.n)
+        return x[0]
+
+    lp_q = jax.tree.map(
+        _layer0, qparams["layers"], is_leaf=lambda x: isinstance(x, QTensor)
+    )
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 5, H)), jnp.float32)
+    dense = np.asarray(_moe_mlp(lp_dense, tcfg, x))
+    quant = np.asarray(_moe_mlp(lp_q, tcfg, x))
+    rel = np.abs(dense - quant) / (np.abs(dense).max() + 1e-9)
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_spec_equals_ar_with_quantized_moe():
+    """Parity oracle with an int8-expert MoE target (the Qwen3-Coder-30B-A3B
+    serving configuration at test scale, reference README.md:60-68)."""
+    import dataclasses
+
+    tcfg = _tiny_moe_cfg()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=1)
+    dcfg = dataclasses.replace(
+        dcfg,
+        model=dataclasses.replace(
+            dcfg.model, num_experts=0, num_experts_per_tok=0, moe_intermediate_size=0
+        ),
+    )
+    t_params = quantize_target_params(
+        qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32), tcfg, pad_to=64
+    )
+    d_params = quantize_draft_params(
+        dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32), dcfg, pad_to=64
+    )
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=16,
+        block_size=8, prompt_cap=32, prompt_bucket=16,
+    )
+    prompt = np.random.default_rng(2).integers(0, tcfg.vocab_size - 2, size=(1, 5))
+    spec = engine.generate(prompt, temperature=0.0)
+    ar = engine.ar_generate(prompt, temperature=0.0)
+    np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
+
+
+def test_init_params_quantized_moe_shapes():
+    """Direct-int8 init (for geometries whose bf16 form exceeds HBM) must
+    produce the same pytree structure as quantize(init(...)) for MoE."""
+    from dflash_tpu.quant.quantize import init_params_quantized
+
+    tcfg = _tiny_moe_cfg()
+    p = init_params_quantized(jax.random.PRNGKey(0), tcfg, pad_to=64)
+    E, Im = tcfg.num_experts, tcfg.moe_intermediate_size
+    L, H = tcfg.num_hidden_layers, tcfg.hidden_size
+    assert p["layers"]["gate"].q.shape == (L, E, H, Im)
+    assert p["layers"]["up"].scale.shape == (L, E, 1, Im)
+    assert p["layers"]["down"].q.shape == (L, E, Im, H)
+    assert p["layers"]["router"].shape == (L, H, E)
+    # and it must actually run
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 3, H)), jnp.bfloat16)
+    from dflash_tpu.models.qwen3 import _moe_mlp
+
+    def _layer0(a):
+        if isinstance(a, QTensor):
+            return QTensor(a.q[0], a.scale[0], a.n)
+        return a[0]
+
+    lp = jax.tree.map(_layer0, p["layers"], is_leaf=lambda a: isinstance(a, QTensor))
+    out = _moe_mlp(lp, tcfg, x)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
 def test_w8a8_linear_close_to_dense():
     """int8-activation matmul stays within quant error of the dense result."""
     from dflash_tpu.ops import linear as linmod

@@ -169,3 +169,52 @@ def test_moe_ep_dispatch_matches_gather():
     np.testing.assert_array_equal(
         np.asarray(got.output_ids), np.asarray(ref.output_ids)
     )
+
+
+def test_moe_ep_dispatch_matches_gather_int8():
+    """Quantized (int8) expert banks under expert-parallel sharding: the EP
+    shard_map dispatch over int8 experts must match the single-device int8
+    gather dispatch token-for-token through a full spec decode — the
+    quantized-expert counterpart of the bf16 invariant above (the serving
+    configuration of the reference's Qwen3-Coder-30B-A3B, README.md:60-68)."""
+    from dflash_tpu.quant import quantize_draft_params, quantize_target_params
+    from dflash_tpu.spec import SpecEngine
+
+    tp, ep = 2, 2
+    tcfg = tiny_target_config(
+        num_attention_heads=2 * tp, num_key_value_heads=tp, head_dim=16,
+        hidden_size=32 * tp, num_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=32,
+    )
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    dcfg = dataclasses.replace(
+        dcfg,
+        model=dataclasses.replace(
+            dcfg.model, num_experts=0, num_experts_per_tok=0, moe_intermediate_size=0
+        ),
+    )
+    t_params = quantize_target_params(
+        qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32), tcfg, pad_to=16
+    )
+    d_params = quantize_draft_params(
+        dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32), dcfg, pad_to=16
+    )
+    mesh = make_mesh(dp=1, tp=tp, ep=ep)
+    t_sh = shard_params(t_params, target_param_shardings(tcfg, mesh))
+    d_sh = shard_params(d_params, draft_param_shardings(dcfg, mesh))
+    gate = t_sh["layers"]["gate"]
+    assert gate.q.dtype == jnp.int8  # experts really are int8 on the mesh
+
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (1, 9), 1, tcfg.vocab_size - 2)
+    )
+    common = dict(max_new_tokens=12, prompt_cap=16, prompt_bucket=16, stop_token_ids=())
+    ref = SpecEngine(tcfg, dcfg, t_params, d_params, **common).generate(
+        prompt, temperature=0.0
+    )
+    got = SpecEngine(tcfg, dcfg, t_sh, d_sh, mesh=mesh, **common).generate(
+        prompt, temperature=0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.output_ids), np.asarray(ref.output_ids)
+    )
