@@ -69,6 +69,14 @@ class EngineConfig:
     # 0 disables.  Works with both bf16 and int8 (kv_quant) caches — entries
     # are stored in the cache's own representation.
     prefix_cache_mb: int = 0
+    # Overlapped scheduling (SGLang's overlapped-scheduler equivalent): each
+    # step dispatches window N, then harvests window N-1's results while the
+    # device executes N — host readbacks, retire bookkeeping and admission
+    # prefill dispatches all hide behind device compute instead of stalling
+    # it.  Retire/admit decisions lag one window; per-request outputs are
+    # identical (lanes are independent and finished lanes freeze on-device).
+    # False = the synchronous dispatch->wait->harvest->admit loop.
+    overlap: bool = True
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
     # environment; compute per cycle is identical, see bench.py).
@@ -120,6 +128,21 @@ def _admit_impl(batched_state: LoopState, lane: jax.Array, single_state: LoopSta
 
 
 _admit = jax.jit(_admit_impl, donate_argnums=(0,))
+
+
+@jax.jit
+def _peek_impl(state: LoopState):
+    """Small fresh-buffer copies of everything the host scheduler needs to
+    retire lanes: no donation, and every output is a real computation (+0 /
+    |False) so its buffer can never alias state leaves that the NEXT cycle
+    dispatch will donate.  ~250KB/window — cheap even through the tunnel."""
+    return (
+        state.start + 0,
+        state.done | False,
+        state.cycle_idx + 0,
+        state.output_ids + 0,
+        state.acc_trace + 0,
+    )
 
 
 def _lane_view(group: LoopState, j: int) -> LoopState:
@@ -174,6 +197,14 @@ class ContinuousBatchingEngine:
         # benchmark_sglang.py:107-222): every cycle samples each lane's
         # posterior at its own request's temperature.
         self._lane_temp = np.full((R,), cfg.temperature, np.float32)
+        # Overlapped scheduling state: the previous window's pending peek
+        # ((device arrays), lane-epoch snapshot) and the last harvested start
+        # values (drives _pick_window without a device sync).  Lane epochs
+        # guard against retiring a freshly admitted request with a peek taken
+        # before its admission.
+        self._peek_pending: Optional[tuple] = None
+        self._lane_epoch = np.zeros((R,), np.int64)
+        self._last_start_host: Optional[np.ndarray] = None
         self._rid = itertools.count()
         self._lock = threading.Lock()
         self._running = False
@@ -276,19 +307,44 @@ class ContinuousBatchingEngine:
         return req
 
     def step(self) -> int:
-        """Admit waiting requests into free lanes, run one batched cycle,
-        retire finished requests.  Returns the number of active lanes.
+        """Admit waiting requests into free lanes, dispatch one multi-cycle
+        window, harvest finished requests.  Returns active lanes.
 
         Idle/finished lanes advance garbage state through the cycle — that is
         deliberate: nobody reads an idle lane (results are harvested the same
         step the lane finishes, and admission fully re-initializes a lane), so
         no freeze/select is needed and the executable stays branch-free.
-        Each lane decodes at its own request's temperature."""
+        Each lane decodes at its own request's temperature.
+
+        With ``cfg.overlap`` the harvest consumes the PREVIOUS window's peek
+        while the device executes the window just dispatched: every host
+        readback and admission prefill hides behind device compute.  Retire /
+        admit decisions lag exactly one window; outputs are identical because
+        lanes are independent and a finished lane freezes itself on-device
+        (its ``done``/frontier condition fails in the cycle's select)."""
         self._admit_pending()
         n_active = sum(r is not None for r in self._lane_req)
-        if n_active == 0:
-            return 0
 
+        if not self.cfg.overlap:
+            if n_active == 0:
+                return 0
+            self._dispatch_window()
+            self._retire_finished()
+            return n_active
+
+        new_peek = None
+        if n_active > 0:
+            self._dispatch_window()
+            peek = _peek_impl(self._state)
+            for leaf in peek:
+                leaf.copy_to_host_async()
+            new_peek = (peek, self._lane_epoch.copy())
+        if self._peek_pending is not None:
+            self._harvest(self._peek_pending)
+        self._peek_pending = new_peek
+        return n_active
+
+    def _dispatch_window(self) -> None:
         window = self._pick_window()
         temps = jnp.asarray(self._lane_temp, jnp.float32)
         max_lengths = jnp.asarray(self._lane_max_length, jnp.int32)
@@ -297,8 +353,27 @@ class ContinuousBatchingEngine:
         )
         self.cycle_count += window
 
-        self._retire_finished()
-        return n_active
+    def _harvest(self, pending: tuple) -> None:
+        """Retire lanes using a window's peeked state (overlap mode).  Lanes
+        whose epoch advanced since the peek (re-admitted) are skipped — their
+        peek rows describe the PREVIOUS request."""
+        (start_d, done_d, cycle_idx_d, output_ids_d, acc_trace_d), epochs = pending
+        start = np.asarray(start_d)
+        done = np.asarray(done_d)
+        self._last_start_host = start
+        out_h = acc_h = cyc_h = None
+        for lane in range(self.cfg.num_lanes):
+            req = self._lane_req[lane]
+            if req is None or epochs[lane] != self._lane_epoch[lane]:
+                continue
+            if not (done[lane] or start[lane] >= self._lane_max_length[lane]):
+                continue
+            if out_h is None:
+                out_h = np.asarray(output_ids_d)
+                acc_h = np.asarray(acc_trace_d)
+                cyc_h = np.asarray(cycle_idx_d)
+            n_cycles = int(cyc_h[lane])
+            self._finish(lane, req, out_h[lane], n_cycles, acc_h[lane][:n_cycles])
 
     def _pick_window(self) -> int:
         """Cycles for the next dispatch.  With requests queued, shrink the
@@ -307,7 +382,12 @@ class ContinuousBatchingEngine:
         the full window amortizes dispatch latency best."""
         if not self.cfg.adaptive_window or self._queue.empty():
             return self._max_window
-        start = np.asarray(self._state.start)
+        if self.cfg.overlap:
+            if self._last_start_host is None:
+                return self._max_window
+            start = self._last_start_host
+        else:
+            start = np.asarray(self._state.start)
         need = None
         for lane, req in enumerate(self._lane_req):
             if req is None:
@@ -422,6 +502,7 @@ class ContinuousBatchingEngine:
             self._lane_prompt_len[lane] = len(req.input_ids)
             self._lane_max_length[lane] = len(req.input_ids) + req.max_new_tokens
             self._lane_temp[lane] = req.temperature
+            self._lane_epoch[lane] += 1
 
     def _admit_request(self, lane: int, req: Request) -> None:
         P = len(req.input_ids)
@@ -464,22 +545,26 @@ class ContinuousBatchingEngine:
         self._lane_prompt_len[lane] = P
         self._lane_max_length[lane] = P + req.max_new_tokens
         self._lane_temp[lane] = req.temperature
+        self._lane_epoch[lane] += 1
 
     def _retire_finished(self) -> None:
         start = np.asarray(self._state.start)
         done = np.asarray(self._state.done)
+        self._last_start_host = start
         for lane in range(self.cfg.num_lanes):
             req = self._lane_req[lane]
             if req is None:
                 continue
             if not (done[lane] or start[lane] >= self._lane_max_length[lane]):
                 continue
-            self._finish(lane, req)
+            n_cycles = int(self._state.cycle_idx[lane])
+            self._finish(
+                lane, req, np.asarray(self._state.output_ids[lane]), n_cycles,
+                np.asarray(self._state.acc_trace[lane])[:n_cycles],
+            )
 
-    def _finish(self, lane: int, req: Request) -> None:
-        out = np.asarray(self._state.output_ids[lane])
-        n_cycles = int(self._state.cycle_idx[lane])
-        acc = np.asarray(self._state.acc_trace[lane])[:n_cycles]
+    def _finish(self, lane: int, req: Request, out: np.ndarray,
+                n_cycles: int, acc: np.ndarray) -> None:
         P = int(self._lane_prompt_len[lane])
         max_length = P + req.max_new_tokens
         seq = out[0, :max_length]
@@ -509,8 +594,11 @@ class ContinuousBatchingEngine:
     def run_until_drained(self, max_steps: int = 100_000) -> None:
         for _ in range(max_steps):
             active = self.step()
-            if active == 0 and self._queue.empty() and all(
-                r is None for r in self._lane_req
+            if (
+                active == 0
+                and self._peek_pending is None
+                and self._queue.empty()
+                and all(r is None for r in self._lane_req)
             ):
                 return
         raise RuntimeError("run_until_drained exceeded max_steps")
@@ -543,6 +631,8 @@ class ContinuousBatchingEngine:
         with self._lock:
             if any(r is not None for r in self._lane_req):
                 raise RuntimeError("cannot flush with active requests")
+            self._peek_pending = None
+            self._last_start_host = None
             self._state = self._empty_state(self.cfg.num_lanes)
             if self._prefix_cache is not None:
                 self._prefix_cache.clear()

@@ -101,6 +101,29 @@ def test_stop_tokens_respected(models):
     assert int(req.output_ids[0, -1]) in range(0, 256)
 
 
+def test_overlap_matches_sync_outputs(models):
+    """The overlapped scheduler (dispatch window N, harvest N-1) must produce
+    exactly the synchronous engine's outputs — retire/admit lag changes only
+    wall-clock, never tokens, because lanes are independent and finished
+    lanes freeze on-device."""
+    prompts = [
+        np.asarray([5, 6, 7]),
+        np.asarray([9, 10, 11, 12]),
+        np.asarray([3, 4]),
+        np.asarray([8, 9, 10]),
+        np.asarray([5, 6, 7]),
+    ]
+    outs = {}
+    for ov in (False, True):
+        eng = make_engine(models, num_lanes=2, overlap=ov)
+        reqs = [eng.submit(p) for p in prompts]
+        eng.run_until_drained()
+        assert all(r.error is None for r in reqs)
+        outs[ov] = [r.output_ids for r in reqs]
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_per_lane_temperature_decode(models):
     """Per-request sampling params (reference benchmark_sglang.py:107-222):
     a T=0 request decodes greedily even while a T=0.8 request shares the
