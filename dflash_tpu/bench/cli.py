@@ -116,16 +116,22 @@ def _resolve_models(args):
         "qwen3-4b": QWEN3_4B,
         "qwen3-8b": QWEN3_8B,
         "qwen3-30b-a3b": QWEN3_CODER_30B_A3B,
-        # Layer-scaled 30B-A3B: the full 48-layer expert stack is ~29GB even
-        # int8 (>16GB v5e HBM); 16 layers (~10GB experts) keep the exact
-        # per-layer geometry — per-cycle costs scale linearly in L, so the
-        # full-model number is 3x the measured per-layer cost.
-        "qwen3-30b-a3b-l16": _dc.replace(QWEN3_CODER_30B_A3B, num_hidden_layers=16),
         "llama31-8b": LLAMA31_8B,
     }
+    # Layer-scaled 30B-A3B ("qwen3-30b-a3b-lN"): the full 48-layer expert
+    # stack is ~29GB even int8 (>16GB v5e HBM); N layers keep the exact
+    # per-layer geometry — per-cycle costs scale linearly in L, so the
+    # full-model number is (48/N)x the measured per-layer cost.
+    import re as _re
+
+    m30 = _re.fullmatch(r"qwen3-30b-a3b-l(\d+)", args.model_name_or_path)
+    if m30:
+        presets[args.model_name_or_path] = _dc.replace(
+            QWEN3_CODER_30B_A3B, num_hidden_layers=int(m30.group(1))
+        )
     # Presets whose bf16 random init would not fit a 16GB chip: generate
     # weights DIRECTLY in int8 when --quant int8 is given.
-    direct_int8 = ("qwen3-8b", "llama31-8b", "qwen3-30b-a3b", "qwen3-30b-a3b-l16")
+    direct_int8 = ("qwen3-8b", "llama31-8b", "qwen3-30b-a3b") + ((args.model_name_or_path,) if m30 else ())
 
     quant = getattr(args, "quant", "") == "int8"
     mp = Path(args.model_name_or_path)

@@ -15,6 +15,7 @@ scaling), and Qwen3-MoE (top-k routed experts, Qwen3-Coder-30B-A3B shapes).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -157,6 +158,19 @@ def _route(lp: dict, cfg: ModelConfig, xt: jax.Array):
     return topk_p, topk_i, combine
 
 
+def _gather_rows(bank: jax.Array, idx: jax.Array) -> jax.Array:
+    """Extract expert matrices ``bank[idx]`` ([E, K, N] by [M] -> [M, K, N])
+    as a scan of dynamic slices.  ``jnp.take`` lowers to a gather HLO whose
+    MB-sized slice rows serialize terribly on TPU (measured 28 ms/tok AR on
+    an 8-layer 30B-A3B geometry vs ~1 ms with this scan — each step is one
+    contiguous DMA)."""
+    def get(_, e):
+        return None, jax.lax.dynamic_index_in_dim(bank, e, 0, keepdims=False)
+
+    _, out = jax.lax.scan(get, None, idx)
+    return out
+
+
 def _experts_all(gate, up, down, xt: jax.Array, combine: jax.Array) -> jax.Array:
     """Dense all-experts dispatch: every expert processes every token; the
     combine matrix (zero for unselected (token, expert) pairs) folds the
@@ -207,13 +221,14 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
 
     Three dispatch strategies, all static-shape:
 
-    * **Gather** (single device, small token counts): pull the selected
-      experts' weights per (token, k) pair and run batched per-pair matmuls.
-      Reads only the active experts — right for AR decode (T=1).
-    * **Dense-all** (single device, T*k >= E): every expert processes every
-      token, combine folds the outputs (:func:`_experts_all`).  At
-      verify-block token counts most experts are hit anyway and the whole
-      bank streams once with zero gather-materialization traffic.
+    * **Dense-all** (default): every expert processes every token, combine
+      folds the outputs (:func:`_experts_all`).  The whole bank streams once
+      per forward with zero gather traffic — measured fastest on v5e even at
+      T=1 (see the dispatch-choice comment below).
+    * **Gather** (``DFLASH_MOE=gather``): pull the selected experts' weights
+      per (token, k) pair via a scan of dynamic slices and run batched
+      per-pair matmuls.  Reads only the active experts but is DMA-latency
+      bound on TPU; kept for A/B and for hardware where gathers are cheap.
     * **Expert-parallel** (``mesh`` given with experts sharded over
       (ep, tp), parallel/mesh.py): shard_map keeps every expert table
       resident on its shard, replicates the (tiny) activations, computes all
@@ -253,45 +268,58 @@ def _moe_mlp(lp: dict, cfg: ModelConfig, x: jax.Array, mesh=None) -> jax.Array:
         return out.astype(x.dtype).reshape(b, s, h)
 
     topk_p, topk_i, combine = _route(lp, cfg, xt)
-    if b * s * cfg.num_experts_per_tok >= cfg.num_experts:
+    # Dispatch choice, whole-loop A/B'd on a v5e (8-layer 30B-A3B geometry,
+    # int8 experts, AR decode T=1 — the gather-friendliest case): dense-all
+    # 8.85 ms/tok vs scan-of-dynamic-slices gather 17.6 ms vs jnp.take gather
+    # 27.9 ms.  Selected-expert gathers are latency-bound on TPU (hundreds of
+    # sequential DMA ops per cycle) while the dense read streams the bank at
+    # ~550 GB/s, so dense-all is the default for every token count;
+    # DFLASH_MOE=gather opts into the slice-gather path.
+    if os.environ.get("DFLASH_MOE", "dense") != "gather":
         out = _experts_all(lp["gate"], lp["up"], lp["down"], xt, combine)
         return out.astype(x.dtype).reshape(b, s, h)
     # Gather the selected experts' weights per token.  For the tiny token
     # counts of a verify/decode step this reads only the active experts.
+    T, k = topk_i.shape
+    flat = topk_i.reshape(-1)
+    hi = jax.lax.Precision.HIGHEST
     if isinstance(lp["gate"], QTensor):
         # INT8 expert banks: gather the int8 tiles + per-expert per-channel
         # scales; the int8 -> bf16 convert fuses into the einsum and the
         # scale is applied to the f32 output (see ops/linear.py) — expert
         # HBM traffic per cycle is halved vs bf16 experts.
         gate_w, up_w, down_w = lp["gate"], lp["up"], lp["down"]
-        gq = jnp.take(gate_w.q, topk_i, axis=0)  # [T, k, H, Im]
-        gs = jnp.take(gate_w.scale, topk_i, axis=0)[:, :, 0, :]  # [T, k, Im]
-        uq = jnp.take(up_w.q, topk_i, axis=0)
-        us = jnp.take(up_w.scale, topk_i, axis=0)[:, :, 0, :]
+        gq = _gather_rows(gate_w.q, flat).reshape(T, k, *gate_w.q.shape[1:])
+        gs = _gather_rows(gate_w.scale, flat).reshape(T, k, -1)  # [T, k, Im]
+        uq = _gather_rows(up_w.q, flat).reshape(T, k, *up_w.q.shape[1:])
+        us = _gather_rows(up_w.scale, flat).reshape(T, k, -1)
         g = jnp.einsum(
             "th,tkhi->tki", xt, gq.astype(xt.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=hi,
         ) * gs
         u = jnp.einsum(
             "th,tkhi->tki", xt, uq.astype(xt.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=hi,
         ) * us
         act = (jax.nn.silu(g) * u).astype(x.dtype)[..., : gate_w.n]
-        dq = jnp.take(down_w.q, topk_i, axis=0)  # [T, k, Im, H]
-        ds = jnp.take(down_w.scale, topk_i, axis=0)[:, :, 0, :]  # [T, k, H]
+        dq = _gather_rows(down_w.q, flat).reshape(T, k, *down_w.q.shape[1:])
+        ds = _gather_rows(down_w.scale, flat).reshape(T, k, -1)  # [T, k, H]
         out = jnp.einsum(
             "tki,tkih->tkh", act, dq.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=hi,
         ) * ds
         out = out[..., : down_w.n]
     else:
-        gate_w = jnp.take(lp["gate"], topk_i, axis=0)  # [T, k, H, Im]
-        up_w = jnp.take(lp["up"], topk_i, axis=0)
-        down_w = jnp.take(lp["down"], topk_i, axis=0)  # [T, k, Im, H]
-        g = jnp.einsum("th,tkhi->tki", xt, gate_w, preferred_element_type=jnp.float32)
-        u = jnp.einsum("th,tkhi->tki", xt, up_w, preferred_element_type=jnp.float32)
+        gate_w = _gather_rows(lp["gate"], flat).reshape(T, k, *lp["gate"].shape[1:])
+        up_w = _gather_rows(lp["up"], flat).reshape(T, k, *lp["up"].shape[1:])
+        down_w = _gather_rows(lp["down"], flat).reshape(T, k, *lp["down"].shape[1:])
+        g = jnp.einsum("th,tkhi->tki", xt, gate_w,
+                       preferred_element_type=jnp.float32, precision=hi)
+        u = jnp.einsum("th,tkhi->tki", xt, up_w,
+                       preferred_element_type=jnp.float32, precision=hi)
         act = (jax.nn.silu(g) * u).astype(x.dtype)
-        out = jnp.einsum("tki,tkih->tkh", act, down_w, preferred_element_type=jnp.float32)
+        out = jnp.einsum("tki,tkih->tkh", act, down_w,
+                         preferred_element_type=jnp.float32, precision=hi)
     out = jnp.sum(out * topk_p[..., None], axis=1)
     return out.astype(x.dtype).reshape(b, s, h)
 
