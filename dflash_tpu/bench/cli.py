@@ -367,8 +367,14 @@ def main(argv=None) -> None:
         w_ids = np.asarray(tokenizer.encode(w_text))[None, : args.prompt_cap]
         if not args.skip_baseline:
             engine.ar_generate(w_ids, temperature=args.temperature, seed=args.seed)
-        engine.generate(w_ids, temperature=args.temperature, seed=args.seed,
-                        forced_acc=forced, draft_steps=args.draft_steps)
+        if args.collect_profile:
+            from dflash_tpu.spec.profiled import profiled_generate
+
+            profiled_generate(engine, w_ids, temperature=args.temperature,
+                              draft_steps=args.draft_steps, forced_acc=forced)
+        else:
+            engine.generate(w_ids, temperature=args.temperature, seed=args.seed,
+                            forced_acc=forced, draft_steps=args.draft_steps)
         log("warmup generation done (compiles excluded from metrics)")
     for idx in indices:
         instance = rows[idx]

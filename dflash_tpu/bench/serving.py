@@ -144,7 +144,7 @@ def main(argv=None) -> None:
     p.add_argument("--shared-prefix-len", type=int, default=0,
                    help="length of a system-prompt prefix shared by all "
                         "requests (exercises the prefix cache)")
-    p.add_argument("--steps-per-sync", type=int, default=16,
+    p.add_argument("--steps-per-sync", type=int, default=2,
                    help="decode cycles per device dispatch")
     p.add_argument("--emulate-tau", type=float, default=None,
                    help="benchmark-only acceptance override (mean tau)")

@@ -45,9 +45,13 @@ class EngineConfig:
     seed: int = 0
     kv_quant: bool = False  # int8 KV cache
     # Cycles per device dispatch (multi-step scheduling): the host only
-    # retires/admits every steps_per_sync cycles.  Raise it when per-dispatch
-    # latency is high (tunneled TPU); 1 = retire as eagerly as possible.
-    steps_per_sync: int = 8
+    # retires/admits every steps_per_sync cycles.  With the overlapped
+    # scheduler (below) dispatch latency hides behind device compute, so
+    # SMALL windows win: they cut finished-lane idle burn and retire lag
+    # (measured best = 2 at 16 lanes on a tunneled v5e, docs/RESULTS.md;
+    # the pre-overlap sweet spot was 16).  1 pays two dispatches + a peek
+    # per cycle — the pipeline can't fully hide that.
+    steps_per_sync: int = 2
     # Adaptive windows: size each dispatch to the earliest predicted lane
     # finish (power-of-two buckets <= steps_per_sync, one compile each), so a
     # finishing lane is retired — and a queued request admitted — without

@@ -97,13 +97,22 @@ def init_params_quantized(key: jax.Array, cfg: ModelConfig, pad_to: int = 512) -
         Np = ((N + pad - 1) // pad) * pad if pad > 1 else N
 
         def one(kk):
-            vals = jax.random.randint(kk, shape[-2:-1] + (Np,), -127, 128, jnp.int8)
+            # random.bits(uint8) -> int8 view: no int32 transient (randint
+            # materializes a 4x-sized wide intermediate, which OOMs the
+            # direct-init path for multi-GB expert banks).
+            bits = jax.random.bits(kk, shape[-2:-1] + (Np,), jnp.uint8)
+            vals = jax.lax.bitcast_convert_type(bits, jnp.int8)
+            vals = jnp.where(vals == -128, 0, vals)
             scale = jnp.full((1, Np), 0.02 * 2.5 / 127.0, jnp.float32)
             return QTensor(vals, scale, N)
 
         if len(shape) == 4:  # [L, E, K, N] expert bank (unpadded, see module doc)
-            kk = jax.random.split(k, shape[0] * shape[1]).reshape(shape[0], shape[1], 2)
-            return jax.vmap(jax.vmap(one))(kk)
+            # lax.map over layers bounds the per-dispatch transient to one
+            # layer's expert bank.
+            def per_layer(kl):
+                return jax.vmap(one)(jax.random.split(kl, shape[1]))
+
+            return jax.lax.map(per_layer, jax.random.split(k, shape[0]))
         if len(shape) == 3:
             return jax.vmap(one)(jax.random.split(k, shape[0]))
         return one(k)
