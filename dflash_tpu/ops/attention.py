@@ -145,3 +145,74 @@ def gqa_attention_quant(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, sq, n_heads * d).astype(q.dtype)
+
+
+def gqa_attention_quant_ctx_plus_block(
+    q: jax.Array,  # [C, B, n_heads, d] — C candidates x B block queries
+    ctx_kq: jax.Array,  # [1, T, n_kv, d] int8 — SHARED committed-context keys
+    ctx_ks: jax.Array,  # [1, T, n_kv] f32 per-row key scales
+    ctx_vq: jax.Array,  # [1, T, n_kv, d] int8
+    ctx_vs: jax.Array,  # [1, T, n_kv] f32
+    blk_k: jax.Array,  # [C, B, n_kv, d] per-candidate block keys (bf16/f32)
+    blk_v: jax.Array,  # [C, B, n_kv, d]
+    ctx_mask: jax.Array,  # [T] bool — valid committed rows (< frontier)
+    blk_mask: jax.Array,  # [B, B] bool — causal within the block
+    scale: float,
+) -> jax.Array:
+    """Shared-int8-context + per-candidate-block attention, merged by
+    log-sum-exp.
+
+    The candidate verify previously dequantized the whole ctx cache slice to
+    bf16 and concatenated it per layer (a copy that grows with context).
+    Here the softmax is computed in two parts — the ctx part consumes the
+    int8 rows directly with batch dim 1 (no per-candidate broadcast, no
+    dequantized copy; scales factor out exactly as in
+    :func:`gqa_attention_quant`) and the tiny per-candidate block part is
+    bf16 — then merged with the standard flash-attention running-max
+    identity.  Mathematically identical to softmax over the concatenation.
+
+    Returns [C, B, n_heads * d].
+    """
+    Cc, B, n_heads, d = q.shape
+    n_kv = ctx_kq.shape[2]
+    groups = n_heads // n_kv
+    qg = q.reshape(Cc, B, n_kv, groups, d)
+
+    # --- ctx part: int8 keys/values, shared across candidates -------------
+    s1 = jnp.einsum(
+        "cqkgd,skd->ckgqs", qg, ctx_kq[0].astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    ks = jnp.moveaxis(ctx_ks[0], -1, 0)[None, :, None, None, :]  # [1,n_kv,1,1,T]
+    s1 = s1 * (ks * scale)
+    s1 = jnp.where(ctx_mask[None, None, None, None, :], s1, _NEG_INF)
+    m1 = jnp.max(s1, axis=-1)  # [C, n_kv, g, B]
+    e1 = jnp.exp(s1 - m1[..., None])
+    l1 = jnp.sum(e1, axis=-1)
+    vs = jnp.moveaxis(ctx_vs[0], -1, 0)[None, :, None, None, :]
+    o1 = jnp.einsum(
+        "ckgqs,skd->ckgqd", (e1 * vs).astype(q.dtype), ctx_vq[0].astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- block part: per-candidate bf16 rows -------------------------------
+    s2 = jnp.einsum(
+        "cqkgd,cskd->ckgqs", qg, blk_k, preferred_element_type=jnp.float32
+    ) * scale
+    s2 = jnp.where(blk_mask[None, None, None, :, :], s2, _NEG_INF)
+    m2 = jnp.max(s2, axis=-1)
+    e2 = jnp.exp(s2 - m2[..., None])
+    l2 = jnp.sum(e2, axis=-1)
+    o2 = jnp.einsum(
+        "ckgqs,cskd->ckgqd", e2.astype(blk_v.dtype), blk_v,
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- LSE merge ----------------------------------------------------------
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m)
+    a2 = jnp.exp(m2 - m)
+    denom = a1 * l1 + a2 * l2
+    out = (a1[..., None] * o1 + a2[..., None] * o2) / denom[..., None]
+    out = jnp.moveaxis(out, 3, 1)  # [C, B, n_kv, g, d]
+    return out.reshape(Cc, B, n_heads * d).astype(q.dtype)

@@ -128,3 +128,51 @@ def test_build_target_layer_ids_reference_semantics():
     assert build_target_layer_ids(36, 3) == (1, 17, 33)
     assert build_target_layer_ids(36, 5) == (1, 9, 17, 25, 33)
     assert build_target_layer_ids(28, 1) == (14,)
+
+
+def test_two_part_quant_ctx_attention_matches_concat():
+    """The LSE-merged shared-int8-ctx + per-candidate-block attention must
+    equal softmax over the dequantized concatenation (it is the same softmax,
+    computed in two parts)."""
+    import numpy as np
+    from dflash_tpu.ops.attention import (
+        gqa_attention,
+        gqa_attention_quant_ctx_plus_block,
+    )
+
+    rng = np.random.default_rng(0)
+    C, B, T, nh, nkv, d = 3, 4, 10, 4, 2, 8
+    q = jnp.asarray(rng.normal(size=(C, B, nh, d)), jnp.float32)
+    ctx_kq = jnp.asarray(rng.integers(-127, 128, size=(1, T, nkv, d)), jnp.int8)
+    ctx_vq = jnp.asarray(rng.integers(-127, 128, size=(1, T, nkv, d)), jnp.int8)
+    ctx_ks = jnp.asarray(rng.uniform(0.005, 0.02, size=(1, T, nkv)), jnp.float32)
+    ctx_vs = jnp.asarray(rng.uniform(0.005, 0.02, size=(1, T, nkv)), jnp.float32)
+    blk_k = jnp.asarray(rng.normal(size=(C, B, nkv, d)), jnp.float32)
+    blk_v = jnp.asarray(rng.normal(size=(C, B, nkv, d)), jnp.float32)
+    ctx_len = 7
+    ctx_mask = jnp.arange(T) < ctx_len
+    blk_mask = jnp.tril(jnp.ones((B, B), bool))
+    scale = d ** -0.5
+
+    got = gqa_attention_quant_ctx_plus_block(
+        q, ctx_kq, ctx_ks, ctx_vq, ctx_vs, blk_k, blk_v, ctx_mask, blk_mask, scale
+    )
+
+    k_ctx = ctx_kq.astype(jnp.float32) * ctx_ks[..., None]
+    v_ctx = ctx_vq.astype(jnp.float32) * ctx_vs[..., None]
+    k_all = jnp.concatenate([jnp.broadcast_to(k_ctx, (C, T, nkv, d)), blk_k], axis=1)
+    v_all = jnp.concatenate([jnp.broadcast_to(v_ctx, (C, T, nkv, d)), blk_v], axis=1)
+    mask = jnp.concatenate(
+        [jnp.broadcast_to(ctx_mask[None, :], (B, T)), blk_mask], axis=1
+    )
+    want = gqa_attention(q, k_all, v_all, mask, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # empty context: the merge must stay finite (ctx part fully masked)
+    got0 = gqa_attention_quant_ctx_plus_block(
+        q, ctx_kq, ctx_ks, ctx_vq, ctx_vs, blk_k, blk_v,
+        jnp.zeros((T,), bool), blk_mask, scale,
+    )
+    mask0 = jnp.concatenate([jnp.zeros((B, T), bool), blk_mask], axis=1)
+    want0 = gqa_attention(q, k_all, v_all, mask0, scale)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), atol=2e-5)
