@@ -85,7 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-candidates", action="store_true")
     # dynamic scheduler flags (reference benchmark_dynamic_schedule.py)
     p.add_argument("--dynamic-block-sizes", type=str, default="8,12,16")
-    p.add_argument("--scheduler-mode", type=str, default="ewma", choices=["ewma", "adl_ewma"])
+    p.add_argument("--scheduler-mode", type=str, default="ewma",
+                   choices=["ewma", "adl_ewma", "fixed"],
+                   help="'fixed' drives the SAME per-cycle-synced policy "
+                        "harness at a constant --block-size — the fair "
+                        "comparator for the dynamic scheduler (isolates "
+                        "scheduler value from the host-sync cost that both "
+                        "pay, reference results.md:85-116 methodology)")
     p.add_argument("--warmup-cycles", type=int, default=6)
     p.add_argument("--ewma-alpha", type=float, default=0.35)
     p.add_argument("--switch-margin", type=float, default=0.08)
@@ -359,7 +365,7 @@ def main(argv=None) -> None:
     output_records = []
     cycle_trace_records = []
     indices = list(range(dist.rank(), len(rows), dist.size()))
-    if args.warmup and indices and args.mode == "vanilla":
+    if args.warmup and indices:
         w_text = tokenizer.apply_chat_template(
             [{"role": "user", "content": rows[indices[0]]["turns"][0]}],
             tokenize=False, add_generation_prompt=True,
@@ -367,7 +373,36 @@ def main(argv=None) -> None:
         w_ids = np.asarray(tokenizer.encode(w_text))[None, : args.prompt_cap]
         if not args.skip_baseline:
             engine.ar_generate(w_ids, temperature=args.temperature, seed=args.seed)
-        if args.collect_profile:
+        if args.mode == "candidates":
+            from dflash_tpu.spec.candidates import CandidateConfig, candidate_generate
+
+            wcc = CandidateConfig(
+                mode=args.candidate_mode, max_candidates=args.max_candidates,
+                rank_top_k=args.branch_top_k, fixed_prefix_len=args.fixed_prefix_len,
+                sparse_max_positions=args.sparse_max_positions,
+                branch_depth=args.branch_depth, margin_threshold=args.margin_threshold,
+                adaptive=args.adaptive_candidates,
+            )
+            candidate_generate(engine, w_ids, wcc, temperature=args.temperature,
+                               forced_acc=forced)
+        elif args.mode == "dynamic":
+            # Compile every candidate block size's cycle executable: one
+            # warmup generation whose scheduler round-robins all candidates
+            # (same static shapes as the measured runs -> XLA-cache warm).
+            from dflash_tpu.sched import EWMAScheduler, SchedulerConfig
+            from dflash_tpu.spec.policy import policy_generate
+
+            if args.scheduler_mode == "fixed":
+                policy_generate(engine, w_ids, fixed_block_size=block_size,
+                                temperature=args.temperature)
+            else:
+                wsched = EWMAScheduler(SchedulerConfig(
+                    candidates=tuple(candidates), mode=args.scheduler_mode,
+                    warmup_cycles=args.warmup_cycles,
+                ))
+                policy_generate(engine, w_ids, scheduler=wsched,
+                                temperature=args.temperature)
+        elif args.collect_profile:
             from dflash_tpu.spec.profiled import profiled_generate
 
             profiled_generate(engine, w_ids, temperature=args.temperature,
@@ -418,7 +453,8 @@ def main(argv=None) -> None:
                 from dflash_tpu.sched import EWMAScheduler, SchedulerConfig
                 from dflash_tpu.spec.policy import policy_generate
 
-                sched = EWMAScheduler(SchedulerConfig(
+                fixed_bs = block_size if args.scheduler_mode == "fixed" else None
+                sched = None if fixed_bs else EWMAScheduler(SchedulerConfig(
                     candidates=tuple(candidates),
                     mode=args.scheduler_mode,
                     warmup_cycles=args.warmup_cycles,
@@ -428,11 +464,14 @@ def main(argv=None) -> None:
                 ))
                 forced_by_bs = None
                 if args.forced_tau is not None:
+                    all_bs = sorted(set(candidates) | {block_size})
                     forced_by_bs = make_forced_acc_by_bs(
-                        args.max_new_tokens, candidates, args.forced_tau, args.seed
+                        args.max_new_tokens, all_bs, args.forced_tau, args.seed
                     )
                 spec_r, used, trace, snap = policy_generate(
-                    engine, input_ids, scheduler=sched,
+                    engine, input_ids,
+                    scheduler=None if fixed_bs else sched,
+                    fixed_block_size=fixed_bs,
                     temperature=args.temperature, collect_trace=True,
                     forced_acc_by_bs=forced_by_bs,
                 )
