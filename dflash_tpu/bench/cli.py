@@ -259,7 +259,7 @@ def _run_batched(args, tcfg, dcfg, t_params, d_params, tokenizer, rows,
             emulate_tau=args.forced_tau,
         ),
     )
-    reqs = []
+    prompts = []
     for idx, instance in enumerate(rows):
         if len(instance["turns"]) > 1:
             log(f"row {idx}: batched mode uses the first turn only")
@@ -267,7 +267,18 @@ def _run_batched(args, tcfg, dcfg, t_params, d_params, tokenizer, rows,
             [{"role": "user", "content": instance["turns"][0]}],
             tokenize=False, add_generation_prompt=True,
         )
-        ids = np.asarray(tokenizer.encode(text))[: args.prompt_cap]
+        prompts.append((idx, np.asarray(tokenizer.encode(text))[: args.prompt_cap]))
+    if args.warmup and prompts:
+        # Compile the engine executables (prefill buckets, cycle window,
+        # admit, peek) outside the measured wall: fill every lane once and
+        # decode a full-length request per lane.
+        for _, ids in (prompts * args.num_lanes)[: args.num_lanes]:
+            eng.submit(ids)
+        eng.run_until_drained()
+        eng.completed.clear()
+        log("warmup drain done (compiles excluded from metrics)")
+    reqs = []
+    for idx, ids in prompts:
         reqs.append((idx, eng.submit(ids)))
     t0 = _time.perf_counter()
     eng.run_until_drained()
