@@ -180,7 +180,48 @@ def _experts_all(gate, up, down, xt: jax.Array, combine: jax.Array) -> jax.Array
     than streaming the whole bank.  gate/up: [E, H, Im] (bf16 or int8
     QTensor, per-expert scales [E, 1, Im]); down: [E, Im, H]; combine:
     [T, E].  Returns [T, H] float32 partial output (caller psums under EP).
+
+    DFLASH_MOE_CHUNK=N processes the bank in N-expert chunks folded into a
+    running [T, H] accumulator (a lax.scan) to bound the f32 intermediates
+    ([E, T, Im] twice plus [E, T, H]).  Measured a LOSS on v5e (16-lane l12
+    engine: 2902 vs 3269 tok/s unchunked — the sequential scan serializes
+    the weight stream XLA otherwise overlaps), so chunking is OFF by
+    default; the knob stays for memory-constrained giant-E configs.
     """
+    E = combine.shape[-1]
+    T = xt.shape[0]
+    chunk = int(os.environ.get("DFLASH_MOE_CHUNK", "0"))
+    if chunk > 0 and E > chunk and E % chunk == 0:
+        n_chunks = E // chunk
+
+        def resh(w):
+            if isinstance(w, QTensor):
+                return QTensor(
+                    w.q.reshape((n_chunks, chunk) + w.q.shape[1:]),
+                    w.scale.reshape((n_chunks, chunk) + w.scale.shape[1:]),
+                    w.n,
+                )
+            return w.reshape((n_chunks, chunk) + w.shape[1:])
+
+        comb_chunks = jnp.moveaxis(
+            combine.reshape(T, n_chunks, chunk), 1, 0
+        )  # [n_chunks, T, chunk]
+
+        def body(acc, xs):
+            g_, u_, d_, cb = xs
+            return acc + _experts_block(g_, u_, d_, xt, cb), None
+
+        acc0 = jnp.zeros((T, down.n if isinstance(down, QTensor) else down.shape[-1]),
+                         jnp.float32)
+        out, _ = jax.lax.scan(
+            body, acc0, (resh(gate), resh(up), resh(down), comb_chunks)
+        )
+        return out
+    return _experts_block(gate, up, down, xt, combine)
+
+
+def _experts_block(gate, up, down, xt: jax.Array, combine: jax.Array) -> jax.Array:
+    """One dense pass over a (chunk of the) expert bank; see _experts_all."""
     # Explicit HIGHEST precision: XLA lowers the "th,ehi->eti" batched form
     # to a reduced-precision matmul under default precision when xt is f32
     # (measured ~2e-3 rel error vs the gather contraction's exact f32) —
