@@ -30,7 +30,12 @@ import numpy as np
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.spec.batched import batched_cycles
-from dflash_tpu.spec.engine import LoopState, _prefill, _prefill_from_prefix
+from dflash_tpu.spec.engine import (
+    LoopState,
+    SamplingFilters,
+    _prefill,
+    _prefill_from_prefix,
+)
 
 
 @dataclass
@@ -81,6 +86,14 @@ class EngineConfig:
     # identical (lanes are independent and finished lanes freeze on-device).
     # False = the synchronous dispatch->wait->harvest->admit loop.
     overlap: bool = True
+    # Per-request top-k / top-p sampling (the rest of the SGLang client's
+    # sampling_params, reference benchmark_sglang.py:42-47).  Static because
+    # the filtered-posterior executable costs one extra lax.top_k over the
+    # vocab per cycle; greedy/temperature-only deployments keep the lean
+    # executable.  When False, requests whose (top_k, top_p) are semantic
+    # no-ops (top_k<=0 / top_p>=1, or effectively-greedy top_k==1) are still
+    # accepted and normalized; anything else is rejected at submit().
+    sampling_filters: bool = False
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
     # environment; compute per cycle is identical, see bench.py).
@@ -93,6 +106,8 @@ class Request:
     input_ids: np.ndarray  # [P] int32
     max_new_tokens: int
     temperature: float
+    top_k: int = 0  # <= 0 disables
+    top_p: float = 1.0  # >= 1 disables
     submitted_at: float = field(default_factory=time.perf_counter)
     # filled on completion:
     output_ids: Optional[np.ndarray] = None
@@ -201,6 +216,8 @@ class ContinuousBatchingEngine:
         # benchmark_sglang.py:107-222): every cycle samples each lane's
         # posterior at its own request's temperature.
         self._lane_temp = np.full((R,), cfg.temperature, np.float32)
+        self._lane_top_k = np.zeros((R,), np.int32)
+        self._lane_top_p = np.ones((R,), np.float32)
         # Overlapped scheduling state: the previous window's pending peek
         # ((device arrays), lane-epoch snapshot) and the last harvested start
         # values (drives _pick_window without a device sync).  Lane epochs
@@ -294,18 +311,33 @@ class ContinuousBatchingEngine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
-               temperature: Optional[float] = None) -> Request:
+               temperature: Optional[float] = None, top_k: int = 0,
+               top_p: float = 1.0) -> Request:
         input_ids = np.asarray(input_ids).reshape(-1)
         if input_ids.shape[0] > self.cfg.prompt_cap:
             raise ValueError(
                 f"prompt length {input_ids.shape[0]} exceeds prompt_cap {self.cfg.prompt_cap}"
+            )
+        temperature = self.cfg.temperature if temperature is None else temperature
+        if top_k == 1:
+            # argmax over one candidate == greedy; normalize so the common
+            # SGLang-client default (T=0, top_k=1, top_p=1) needs no filters
+            temperature, top_k, top_p = 0.0, 0, 1.0
+        if temperature == 0.0:
+            top_k, top_p = 0, 1.0  # greedy ignores filters
+        if not self.cfg.sampling_filters and (top_k > 0 or top_p < 1.0):
+            raise ValueError(
+                "request has top_k/top_p but the engine was built with "
+                "sampling_filters=False"
             )
         req = Request(
             rid=next(self._rid),
             input_ids=input_ids.astype(np.int32),
             max_new_tokens=min(max_new_tokens or self.cfg.max_new_tokens,
                                self.cfg.max_new_tokens),
-            temperature=self.cfg.temperature if temperature is None else temperature,
+            temperature=temperature,
+            top_k=int(top_k),
+            top_p=float(top_p),
         )
         self._queue.put(req)
         return req
@@ -352,8 +384,15 @@ class ContinuousBatchingEngine:
         window = self._pick_window()
         temps = jnp.asarray(self._lane_temp, jnp.float32)
         max_lengths = jnp.asarray(self._lane_max_length, jnp.int32)
+        filters = None
+        if self.cfg.sampling_filters:
+            filters = SamplingFilters(
+                top_k=jnp.asarray(self._lane_top_k, jnp.int32),
+                top_p=jnp.asarray(self._lane_top_p, jnp.float32),
+            )
         self._state = self._cycle_fns[window](
-            self._state, self.t_params, self.d_params, temps, max_lengths
+            self._state, self.t_params, self.d_params, temps, max_lengths,
+            filters=filters,
         )
         self.cycle_count += window
 
@@ -425,10 +464,11 @@ class ContinuousBatchingEngine:
         i = 0
         while i < len(reqs):
             group = [reqs[i]]
+            sp = lambda r: (r.temperature, r.top_k, r.top_p)
             while (
                 grouping
                 and i + len(group) < len(reqs)
-                and reqs[i + len(group)].temperature == group[0].temperature
+                and sp(reqs[i + len(group)]) == sp(group[0])
                 and len(group) < len(free)
             ):
                 group.append(reqs[i + len(group)])
@@ -494,6 +534,7 @@ class ContinuousBatchingEngine:
                 jnp.float32(reqs[0].temperature), keys,
                 tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
                 max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
+                filters=self._req_filters(reqs[0]),
             )
             jax.block_until_ready(group.start)  # surface prefill faults here
         except Exception as e:  # noqa: BLE001
@@ -502,11 +543,26 @@ class ContinuousBatchingEngine:
             self._state, jnp.asarray(lanes, jnp.int32), group, k=k
         )
         for lane, req in zip(lanes, reqs):
-            self._lane_req[lane] = req
-            self._lane_prompt_len[lane] = len(req.input_ids)
-            self._lane_max_length[lane] = len(req.input_ids) + req.max_new_tokens
-            self._lane_temp[lane] = req.temperature
-            self._lane_epoch[lane] += 1
+            self._bind_lane(lane, req)
+
+    def _req_filters(self, req: Request) -> Optional[SamplingFilters]:
+        """Scalar-leaf filters for a request's prefill; None when the engine
+        runs without the filtered executables (submit() already rejected any
+        non-no-op request in that case)."""
+        if not self.cfg.sampling_filters:
+            return None
+        return SamplingFilters(
+            top_k=jnp.int32(req.top_k), top_p=jnp.float32(req.top_p)
+        )
+
+    def _bind_lane(self, lane: int, req: Request) -> None:
+        self._lane_req[lane] = req
+        self._lane_prompt_len[lane] = len(req.input_ids)
+        self._lane_max_length[lane] = len(req.input_ids) + req.max_new_tokens
+        self._lane_temp[lane] = req.temperature
+        self._lane_top_k[lane] = req.top_k
+        self._lane_top_p[lane] = req.top_p
+        self._lane_epoch[lane] += 1
 
     def _admit_request(self, lane: int, req: Request) -> None:
         P = len(req.input_ids)
@@ -516,6 +572,7 @@ class ContinuousBatchingEngine:
         common = dict(
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
+            filters=self._req_filters(req),
         )
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid)
         hit = (
@@ -545,11 +602,7 @@ class ContinuousBatchingEngine:
                         taps=single.features[:, :P0],
                     ))
         self._state = _admit(self._state, jnp.int32(lane), single)
-        self._lane_req[lane] = req
-        self._lane_prompt_len[lane] = P
-        self._lane_max_length[lane] = P + req.max_new_tokens
-        self._lane_temp[lane] = req.temperature
-        self._lane_epoch[lane] += 1
+        self._bind_lane(lane, req)
 
     def _retire_finished(self) -> None:
         start = np.asarray(self._state.start)
@@ -707,7 +760,8 @@ class BucketedEngine:
         )
 
     def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
-               temperature: Optional[float] = None) -> Request:
+               temperature: Optional[float] = None, top_k: int = 0,
+               top_p: float = 1.0) -> Request:
         ids = np.asarray(input_ids).reshape(-1)
         biggest = self.pools[-1]
         max_new = min(
@@ -715,7 +769,8 @@ class BucketedEngine:
             biggest.cfg.max_new_tokens,
         )
         pool = self._route(ids.shape[0], max_new)
-        return pool.submit(ids, max_new_tokens=max_new, temperature=temperature)
+        return pool.submit(ids, max_new_tokens=max_new, temperature=temperature,
+                           top_k=top_k, top_p=top_p)
 
     def step(self) -> int:
         return sum(p.step() for p in self.pools)

@@ -2,7 +2,8 @@
 
 Mirrors the SGLang endpoints the reference's serving benchmark drives
 (benchmark_sglang.py:29-95, 170-201): POST ``/generate`` with
-``{"input_ids" | "text", "sampling_params": {"max_new_tokens", "temperature"}}``
+``{"input_ids" | "text", "sampling_params": {"max_new_tokens", "temperature",
+"top_k", "top_p"}}``
 returning ``{"output_ids", "text", "meta_info": {prompt_tokens,
 completion_tokens, spec_verify_ct, spec_accept_length, e2e_latency_s}}``;
 POST ``/flush_cache``; GET ``/health``.  Batched requests (a list body)
@@ -91,6 +92,8 @@ class EngineHTTPServer:
             ids,
             max_new_tokens=sp.get("max_new_tokens"),
             temperature=sp.get("temperature"),
+            top_k=int(sp.get("top_k", 0) or 0),
+            top_p=float(sp.get("top_p", 1.0)),
         )
         if not req.done_event.wait(timeout=600):
             raise ValueError("generation timed out")
@@ -148,6 +151,9 @@ def main(argv=None) -> None:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--quant", default="", choices=["", "int8"])
     p.add_argument("--kv-quant", action="store_true", help="int8 KV cache")
+    p.add_argument("--sampling-filters", action="store_true",
+                   help="enable per-request top_k/top_p (one extra vocab "
+                        "top-k per cycle; greedy-only deployments leave off)")
     p.add_argument("--prefix-cache-mb", type=int, default=0,
                    help="prompt-prefix cache budget (SGLang radix-cache "
                         "equivalent); 0 disables")
@@ -175,6 +181,7 @@ def main(argv=None) -> None:
         stop_token_ids=(tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None else (),
         kv_quant=args.kv_quant,
         prefix_cache_mb=args.prefix_cache_mb,
+        sampling_filters=args.sampling_filters,
     )
     if args.buckets:
         rungs = [

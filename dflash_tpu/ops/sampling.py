@@ -26,6 +26,63 @@ def sample(logits: jax.Array, temperature: float | jax.Array, key: jax.Array) ->
     return jnp.where(jnp.asarray(temperature) < GREEDY_TEMP_EPS, greedy, sampled).astype(jnp.int32)
 
 
+# Static candidate-pool size for filtered sampling: top-k/top-p are resolved
+# within the top-TOPK_POOL logits (one lax.top_k over the vocab, then all
+# filter math runs on a [.., 64] tile — VPU-friendly, no full-vocab sort).
+# Exact for top_k <= 64; top_p nucleus is truncated to the pool (the standard
+# TPU-serving tradeoff — a nucleus wider than 64 tokens only occurs in
+# near-uniform distributions where truncation is statistically invisible).
+TOPK_POOL = 64
+
+
+def sample_topk_topp(
+    logits: jax.Array,
+    temperature: float | jax.Array,
+    key: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+) -> jax.Array:
+    """``sample`` with per-call traced top-k / top-p filtering.
+
+    Serving-parity sampler (the reference's SGLang client sends
+    ``sampling_params = {temperature, top_p, top_k}`` per request, reference
+    benchmark_sglang.py:42-47); filters follow the HF/SGLang convention:
+    temperature scaling first, then top-k (keep the k highest logits;
+    ``top_k <= 0`` disables), then top-p (keep the smallest prefix of the
+    sorted distribution with cumulative probability >= ``top_p``;
+    ``top_p >= 1`` disables), then categorical sampling.  ``temperature``
+    below the greedy epsilon returns argmax regardless of filters.  When both
+    filters are no-ops the result matches unfiltered :func:`sample` bit-for-
+    bit (same key, same categorical path).
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+    temp = jnp.maximum(jnp.asarray(temperature, jnp.float32), GREEDY_TEMP_EPS)
+    full = jax.random.categorical(key, logits / temp, axis=-1)
+
+    pool = min(TOPK_POOL, logits.shape[-1])
+    vals, idxs = jax.lax.top_k(logits, pool)  # [..., pool] descending
+    k = jnp.asarray(top_k, jnp.int32)
+    k_eff = jnp.where(k <= 0, pool, jnp.minimum(k, pool))
+    p = jnp.asarray(top_p, jnp.float32)
+    pos = jnp.arange(pool, dtype=jnp.int32)
+    scaled = vals / temp
+    probs = jax.nn.softmax(scaled, axis=-1)
+    # keep a token if the cumulative mass BEFORE it is < p (the first token
+    # always survives); combined with the top-k prefix mask
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    keep = (pos < k_eff) & (cum_before < p)
+    masked = jnp.where(keep, scaled, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)  # index into pool
+    filtered = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+
+    active = ((k > 0) & (k < logits.shape[-1])) | (p < 1.0)
+    out = jnp.where(active, filtered, full)
+    return jnp.where(
+        jnp.asarray(temperature) < GREEDY_TEMP_EPS, greedy, out
+    ).astype(jnp.int32)
+
+
 def acceptance_length(draft_tokens: jax.Array, posterior: jax.Array) -> jax.Array:
     """Longest accepted prefix length.
 

@@ -30,6 +30,8 @@ def spec_generate(
     *,
     block_size: Optional[int] = None,
     seed: int = 0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> GenerationResult:
     """Speculative generation for one prompt (reference spec_generate parity).
 
@@ -48,4 +50,6 @@ def spec_generate(
         prompt_bucket=128,
         stop_token_ids=stop_token_ids,
     )
-    return engine.generate(input_ids, temperature=temperature, seed=seed)
+    return engine.generate(
+        input_ids, temperature=temperature, seed=seed, top_k=top_k, top_p=top_p
+    )

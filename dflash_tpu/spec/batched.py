@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
-from dflash_tpu.spec.engine import LoopState, _cycle, _decode_impl, _prefill_impl
+from dflash_tpu.spec.engine import (
+    LoopState,
+    SamplingFilters,
+    _cycle,
+    _decode_impl,
+    _prefill_impl,
+)
 
 
 # Per-leaf vmap axis for the request/lane dimension.  KV caches put the
@@ -84,6 +90,7 @@ def batched_prefill(
     total_len: int,
     max_cycles: int,
     kv_quant: bool = False,
+    filters: SamplingFilters | None = None,  # scalar leaves, shared by the group
 ) -> LoopState:
     """Per-request prefill; returns a LoopState with the request axis per
     STATE_AXES (leading everywhere except the KV caches, where it sits
@@ -92,9 +99,10 @@ def batched_prefill(
         _prefill_impl, tcfg=tcfg, dcfg=dcfg, total_len=total_len,
         max_cycles=max_cycles, kv_quant=kv_quant,
     )
-    return jax.vmap(f, in_axes=(None, None, 0, 0, None, 0), out_axes=STATE_AXES)(
-        t_params, d_params, input_ids, prompt_lens, temperature, keys
-    )
+    return jax.vmap(
+        lambda tp, dp, ids, pl, temp, k: f(tp, dp, ids, pl, temp, k, filters=filters),
+        in_axes=(None, None, 0, 0, None, 0), out_axes=STATE_AXES,
+    )(t_params, d_params, input_ids, prompt_lens, temperature, keys)
 
 
 def batched_decode(
@@ -111,6 +119,7 @@ def batched_decode(
     stop_token_ids: Tuple[int, ...],
     max_cycles: int,
     forced_acc=None,  # optional [R, max_cycles] per-lane acceptance override
+    filters: SamplingFilters | None = None,  # optional [R]-leaf per-lane top-k/top-p
 ) -> LoopState:
     # NOT vmap(_decode_impl): a vmapped while_loop freezes finished lanes by
     # selecting over EVERY carry each iteration — profiled at 2.3 GB of KV
@@ -122,15 +131,17 @@ def batched_decode(
     R = max_lengths.shape[0]
     temps = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (R,))
 
-    def cycle_one(st, temp, fa):
+    def cycle_one(st, temp, fa, flt):
         return _cycle(
             st, t_params, d_params, temp,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
-            stop_token_ids=stop_token_ids, forced_acc=fa,
+            stop_token_ids=stop_token_ids, forced_acc=fa, filters=flt,
         )
 
     fa_axis = None if forced_acc is None else 0
-    vcycle = jax.vmap(cycle_one, in_axes=(STATE_AXES, 0, fa_axis), out_axes=STATE_AXES)
+    vcycle = jax.vmap(
+        cycle_one, in_axes=(STATE_AXES, 0, fa_axis, 0), out_axes=STATE_AXES
+    )
 
     def lane_active(st):
         return (st.start < max_lengths) & (~st.done) & (st.cycle_idx < max_cycles)
@@ -139,7 +150,7 @@ def batched_decode(
         return jnp.any(lane_active(st))
 
     def body(st):
-        new = vcycle(st, temps, forced_acc)
+        new = vcycle(st, temps, forced_acc, filters)
         active = lane_active(st)
 
         def sel(old, new_):
@@ -174,6 +185,7 @@ def batched_cycles(
     stop_token_ids: Tuple[int, ...],
     n_steps: int = 1,
     forced_acc=None,  # optional [max_cycles] shared acceptance override
+    filters: SamplingFilters | None = None,  # optional [R]-leaf per-lane top-k/top-p
 ) -> LoopState:
     """``n_steps`` speculative cycles for every active lane in ONE dispatch.
 
@@ -192,12 +204,12 @@ def batched_cycles(
         stop_token_ids=stop_token_ids, forced_acc=forced_acc,
     )
     vcycle = jax.vmap(
-        lambda st, temp: f(st, t_params, d_params, temp),
-        in_axes=(STATE_AXES, 0), out_axes=STATE_AXES,
+        lambda st, temp, flt: f(st, t_params, d_params, temp, filters=flt),
+        in_axes=(STATE_AXES, 0, 0), out_axes=STATE_AXES,
     )
 
     def body(_, st):
-        new = vcycle(st, temps)
+        new = vcycle(st, temps, filters)
         active = (st.start < max_lengths) & (~st.done)
 
         def sel(old, new_):

@@ -43,7 +43,28 @@ from dflash_tpu.cache.kv import (
 )
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
-from dflash_tpu.ops.sampling import acceptance_length, sample
+from dflash_tpu.ops.sampling import acceptance_length, sample, sample_topk_topp
+
+
+class SamplingFilters(NamedTuple):
+    """Per-request top-k / top-p sampling filters (the rest of the reference
+    serving client's ``sampling_params``, benchmark_sglang.py:42-47).  Traced
+    leaves — scalars for the single-request engine, [R] vectors per lane in
+    the batched engine.  ``top_k <= 0`` and ``top_p >= 1`` disable."""
+
+    top_k: jax.Array  # int32
+    top_p: jax.Array  # float32
+
+
+def _sample_posterior(
+    logits: jax.Array,
+    temperature: jax.Array,
+    key: jax.Array,
+    filters: Optional[SamplingFilters],
+) -> jax.Array:
+    if filters is None:
+        return sample(logits, temperature, key)
+    return sample_topk_topp(logits, temperature, key, filters.top_k, filters.top_p)
 
 
 class LoopState(NamedTuple):
@@ -164,6 +185,7 @@ def _prefill_impl(
     mesh=None,
     seq_axis: Optional[str] = None,
     attn_impl: str = "xla",
+    filters: Optional[SamplingFilters] = None,
 ) -> LoopState:
     """Target prefill + first-token sample + draft context prefill.
 
@@ -185,7 +207,9 @@ def _prefill_impl(
         kv_quant=kv_quant, chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis,
         attn_impl=attn_impl,
     )
-    first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)  # [1,1]
+    first_token = _sample_posterior(
+        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters
+    )  # [1,1]
 
     output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
     prompt_row = jnp.where(
@@ -229,6 +253,7 @@ def _prefill_from_prefix_impl(
     total_len: int,
     max_cycles: int,
     kv_quant: bool = False,
+    filters: Optional[SamplingFilters] = None,
 ) -> LoopState:
     """Prefill resuming from a cached prompt prefix (engine prefix cache,
     the TPU-native counterpart of SGLang's radix cache): the cached rows are
@@ -265,7 +290,9 @@ def _prefill_from_prefix_impl(
     last_hidden = jax.lax.dynamic_slice_in_dim(
         res.hidden, prompt_len - 1 - P0, 1, axis=1
     )
-    first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)
+    first_token = _sample_posterior(
+        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters
+    )
 
     output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
     prompt_row = jnp.where(
@@ -374,6 +401,7 @@ def _verify_stage(
     with_aux: bool = False,
     mesh=None,
     attn_impl: str = "xla",
+    filters: Optional[SamplingFilters] = None,
 ):
     B = block_size
     T = state.output_ids.shape[1]
@@ -390,7 +418,9 @@ def _verify_stage(
         attn_impl="xla" if attn_impl == "bucketed" else attn_impl,
         attn_limit=(start + B) if attn_impl == "bucketed" else None,
     )
-    posterior = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)  # [1, B]
+    posterior = _sample_posterior(
+        qwen3.lm_head(t_params, res.hidden), temperature, k_post, filters
+    )  # [1, B]
 
     # -- accept + commit ----------------------------------------------------
     acc = acceptance_length(block[:, 1:], posterior)[0]  # [] int32
@@ -466,6 +496,7 @@ def _cycle(
     with_aux: bool = False,
     mesh=None,
     attn_impl: str = "xla",
+    filters: Optional[SamplingFilters] = None,
 ):
     """One fused draft -> verify -> accept cycle (see module docstring)."""
     d_kv, block = _draft_stage(
@@ -477,7 +508,7 @@ def _cycle(
         state, d_kv, block, t_params, temperature,
         tcfg=tcfg, dcfg=dcfg, block_size=block_size,
         stop_token_ids=stop_token_ids, forced_acc=forced_acc, with_aux=with_aux,
-        mesh=mesh, attn_impl=attn_impl,
+        mesh=mesh, attn_impl=attn_impl, filters=filters,
     )
 
 
@@ -497,6 +528,7 @@ def _decode_impl(
     draft_steps: int = 1,
     mesh=None,
     attn_impl: str = "xla",
+    filters: Optional[SamplingFilters] = None,
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -507,6 +539,7 @@ def _decode_impl(
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=forced_acc,
             draft_steps=draft_steps, mesh=mesh, attn_impl=attn_impl,
+            filters=filters,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -552,7 +585,7 @@ def _ar_prefill(
     t_params, input_ids, prompt_len, temperature, key,
     *, tcfg: ModelConfig, total_len: int, mask_token_id: int, kv_quant: bool = False,
     prefill_chunk: Optional[int] = None, mesh=None, seq_axis: Optional[str] = None,
-    attn_impl: str = "xla",
+    attn_impl: str = "xla", filters: Optional[SamplingFilters] = None,
 ) -> ARState:
     P = input_ids.shape[1]
     key, k_sample = jax.random.split(key)
@@ -561,7 +594,9 @@ def _ar_prefill(
         tcfg=tcfg, tap_ids=(), total_len=total_len, kv_quant=kv_quant,
         chunk=prefill_chunk, mesh=mesh, seq_axis=seq_axis, attn_impl=attn_impl,
     )
-    first_token = sample(qwen3.lm_head(t_params, last_hidden), temperature, k_sample)
+    first_token = _sample_posterior(
+        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters
+    )
     output_ids = jnp.full((1, total_len), mask_token_id, jnp.int32)
     prompt_row = jnp.where(
         jnp.arange(P)[None, :] < prompt_len, input_ids.astype(jnp.int32), mask_token_id
@@ -575,7 +610,7 @@ def _ar_prefill(
 def _ar_decode(
     t_params, state: ARState, max_length, temperature,
     *, tcfg: ModelConfig, stop_token_ids: Tuple[int, ...], mesh=None,
-    attn_impl: str = "xla",
+    attn_impl: str = "xla", filters: Optional[SamplingFilters] = None,
 ) -> ARState:
     T = state.output_ids.shape[1]
 
@@ -594,7 +629,9 @@ def _ar_decode(
             attn_impl="xla" if attn_impl == "bucketed" else attn_impl,
             attn_limit=(s.start + 1) if attn_impl == "bucketed" else None,
         )
-        nxt = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)[0, 0]
+        nxt = _sample_posterior(
+            qwen3.lm_head(t_params, res.hidden), temperature, k_post, filters
+        )[0, 0]
         output_ids = s.output_ids.at[0, s.start + 1].set(nxt)
         eos = jnp.zeros((), bool)
         for sid in stop_token_ids:
@@ -690,6 +727,14 @@ class SpecEngine:
                 seq = seq[: prompt_len + hits[0] + 1]
         return seq[None, :]
 
+    @staticmethod
+    def _filters(top_k: int, top_p: float) -> Optional[SamplingFilters]:
+        """Host-side: None when both filters are no-ops (keeps the unfiltered
+        executables for the common greedy/temperature-only path)."""
+        if top_k <= 0 and top_p >= 1.0:
+            return None
+        return SamplingFilters(jnp.int32(top_k), jnp.float32(top_p))
+
     def generate(
         self,
         input_ids: np.ndarray,
@@ -697,12 +742,15 @@ class SpecEngine:
         seed: int = 0,
         forced_acc: Optional[np.ndarray] = None,
         draft_steps: int = 1,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> GenerationResult:
         ids, prompt_len, padded_len = self._pad_prompt(input_ids)
         key = jax.random.PRNGKey(seed)
         temp = jnp.float32(temperature)
         plen = jnp.int32(prompt_len)
         max_length = jnp.int32(prompt_len + self.max_new_tokens)
+        filters = self._filters(top_k, top_p)
 
         t0 = time.perf_counter()
         state = _prefill(
@@ -710,7 +758,7 @@ class SpecEngine:
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_new_tokens, kv_quant=self.kv_quant,
             prefill_chunk=self._resolve_chunk(padded_len), mesh=self.mesh,
-            seq_axis=self.seq_axis, attn_impl=self.attn_impl,
+            seq_axis=self.seq_axis, attn_impl=self.attn_impl, filters=filters,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -726,7 +774,7 @@ class SpecEngine:
             tcfg=self.tcfg, dcfg=self.dcfg, block_size=self.block_size,
             stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
             forced_acc=forced_acc, draft_steps=draft_steps, mesh=self.mesh,
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, filters=filters,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1
