@@ -22,7 +22,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +108,18 @@ class Request:
     temperature: float
     top_k: int = 0  # <= 0 disables
     top_p: float = 1.0  # >= 1 disables
+    # Stop strings (SGLang sampling_params "stop", reference
+    # benchmark_sglang.py:48-49): generation halts when any appears in the
+    # decoded text; the match is excluded from the output.  Checked host-side
+    # once per scheduling window (a stop can overshoot by up to one window of
+    # cycles on-device; the overshoot is trimmed before the result surfaces).
+    stop_strings: Tuple[str, ...] = ()
     submitted_at: float = field(default_factory=time.perf_counter)
+    # Streaming: when set, the engine pushes {"token_ids": [...], "finished":
+    # False} per scheduling window as tokens commit, then one final item with
+    # finished=True once meta_info is ready.
+    stream_queue: Optional["queue.Queue"] = None
+    streamed: int = 0  # generated tokens already pushed to stream_queue
     # filled on completion:
     output_ids: Optional[np.ndarray] = None
     meta_info: Optional[dict] = None
@@ -200,10 +211,11 @@ class ContinuousBatchingEngine:
     """
 
     def __init__(self, tcfg: ModelConfig, dcfg: DraftConfig, t_params, d_params,
-                 cfg: EngineConfig):
+                 cfg: EngineConfig, tokenizer=None):
         self.tcfg, self.dcfg = tcfg, dcfg
         self.t_params, self.d_params = t_params, d_params
         self.cfg = cfg
+        self.tokenizer = tokenizer  # needed only for stop-string requests
         R = cfg.num_lanes
         self.total_len = cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1
         self.max_cycles = cfg.max_new_tokens
@@ -312,12 +324,16 @@ class ContinuousBatchingEngine:
 
     def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None, top_k: int = 0,
-               top_p: float = 1.0) -> Request:
+               top_p: float = 1.0, stop: Optional[Sequence[str]] = None,
+               stream: bool = False) -> Request:
         input_ids = np.asarray(input_ids).reshape(-1)
         if input_ids.shape[0] > self.cfg.prompt_cap:
             raise ValueError(
                 f"prompt length {input_ids.shape[0]} exceeds prompt_cap {self.cfg.prompt_cap}"
             )
+        stop_strings = (stop,) if isinstance(stop, str) else tuple(stop or ())
+        if stop_strings and self.tokenizer is None:
+            raise ValueError("stop strings need an engine tokenizer")
         temperature = self.cfg.temperature if temperature is None else temperature
         if top_k == 1:
             # argmax over one candidate == greedy; normalize so the common
@@ -338,6 +354,8 @@ class ContinuousBatchingEngine:
             temperature=temperature,
             top_k=int(top_k),
             top_p=float(top_p),
+            stop_strings=stop_strings,
+            stream_queue=queue.Queue() if stream else None,
         )
         self._queue.put(req)
         return req
@@ -399,7 +417,9 @@ class ContinuousBatchingEngine:
     def _harvest(self, pending: tuple) -> None:
         """Retire lanes using a window's peeked state (overlap mode).  Lanes
         whose epoch advanced since the peek (re-admitted) are skipped — their
-        peek rows describe the PREVIOUS request."""
+        peek rows describe the PREVIOUS request.  Lanes with streaming or
+        stop-string requests are serviced every window (token push / stop
+        scan), not just at completion."""
         (start_d, done_d, cycle_idx_d, output_ids_d, acc_trace_d), epochs = pending
         start = np.asarray(start_d)
         done = np.asarray(done_d)
@@ -409,14 +429,22 @@ class ContinuousBatchingEngine:
             req = self._lane_req[lane]
             if req is None or epochs[lane] != self._lane_epoch[lane]:
                 continue
-            if not (done[lane] or start[lane] >= self._lane_max_length[lane]):
+            finished = bool(done[lane] or start[lane] >= self._lane_max_length[lane])
+            needs_scan = bool(req.stop_strings or req.stream_queue is not None)
+            if not (finished or needs_scan):
                 continue
             if out_h is None:
                 out_h = np.asarray(output_ids_d)
                 acc_h = np.asarray(acc_trace_d)
                 cyc_h = np.asarray(cycle_idx_d)
             n_cycles = int(cyc_h[lane])
-            self._finish(lane, req, out_h[lane], n_cycles, acc_h[lane][:n_cycles])
+            if needs_scan and not finished:
+                if self._service_lane(lane, req, int(start[lane]), out_h[lane],
+                                      n_cycles, acc_h[lane][:n_cycles]):
+                    continue  # force-finished on a stop-string hit
+            if finished:
+                self._finish(lane, req, out_h[lane], n_cycles,
+                             acc_h[lane][:n_cycles])
 
     def _pick_window(self) -> int:
         """Cycles for the next dispatch.  With requests queued, shrink the
@@ -496,6 +524,11 @@ class ContinuousBatchingEngine:
                     req.error = f"{type(e).__name__}: {e}"
                     req.meta_info = {"error": req.error}
                     self.completed[req.rid] = req
+                    if req.stream_queue is not None:  # unblock SSE consumers
+                        req.stream_queue.put({
+                            "token_ids": [], "finished": True,
+                            "meta_info": req.meta_info,
+                        })
                     req.done_event.set()
             i += len(group)
 
@@ -612,13 +645,74 @@ class ContinuousBatchingEngine:
             req = self._lane_req[lane]
             if req is None:
                 continue
-            if not (done[lane] or start[lane] >= self._lane_max_length[lane]):
+            finished = bool(done[lane] or start[lane] >= self._lane_max_length[lane])
+            needs_scan = bool(req.stop_strings or req.stream_queue is not None)
+            if not (finished or needs_scan):
                 continue
             n_cycles = int(self._state.cycle_idx[lane])
-            self._finish(
-                lane, req, np.asarray(self._state.output_ids[lane]), n_cycles,
-                np.asarray(self._state.acc_trace[lane])[:n_cycles],
+            acc = np.asarray(self._state.acc_trace[lane])[:n_cycles]
+            out_row = np.asarray(self._state.output_ids[lane])
+            if needs_scan and not finished:
+                if self._service_lane(lane, req, int(start[lane]), out_row,
+                                      n_cycles, acc):
+                    continue
+            if finished:
+                self._finish(lane, req, out_row, n_cycles, acc)
+
+    def _service_lane(self, lane: int, req: Request, start_l: int,
+                      out_row: np.ndarray, n_cycles: int,
+                      acc: np.ndarray) -> bool:
+        """Per-window service for a streaming / stop-string lane: push newly
+        committed tokens, scan for stop-string hits.  Returns True when the
+        lane was force-finished on a stop match."""
+        P = int(self._lane_prompt_len[lane])
+        # committed region is [P, start] inclusive — position start holds the
+        # bonus token, which is committed and stable across cycles
+        end = min(start_l + 1, P + req.max_new_tokens)
+        gen = out_row[0, P:end]
+        gen = gen[gen != self.dcfg.mask_token_id]
+        if self.cfg.stop_token_ids:
+            hits = np.nonzero(np.isin(gen, list(self.cfg.stop_token_ids)))[0]
+            if hits.size > 0:
+                gen = gen[: hits[0] + 1]
+        if req.stop_strings:
+            cut, matched = self._find_stop_cut(req, gen)
+            if cut is not None:
+                gen = gen[:cut]
+                self._push_stream(req, gen)
+                seq = np.concatenate([req.input_ids, gen]).astype(np.int32)
+                self._complete(lane, req, seq, n_cycles, acc,
+                               {"type": "stop", "matched": matched})
+                return True
+        self._push_stream(req, gen)
+        return False
+
+    def _find_stop_cut(self, req: Request, gen: np.ndarray):
+        """(token_count, matched_string) for the earliest stop-string match in
+        the decoded generation, or (None, None).  The returned count is the
+        smallest prefix whose decoding contains the match — the boundary token
+        is kept (token ids are not re-segmented; the server truncates the
+        *text* at the match, which is the user-visible SGLang behavior)."""
+        text = self.tokenizer.decode(gen, skip_special_tokens=True)
+        if not any(s in text for s in req.stop_strings):
+            return None, None
+        for n in range(1, len(gen) + 1):
+            t = self.tokenizer.decode(gen[:n], skip_special_tokens=True)
+            for s in req.stop_strings:
+                if s in t:
+                    return n, s
+        return len(gen), next(s for s in req.stop_strings if s in text)
+
+    @staticmethod
+    def _push_stream(req: Request, gen: np.ndarray) -> None:
+        if req.stream_queue is None:
+            return
+        new = gen[req.streamed:]
+        if new.size:
+            req.stream_queue.put(
+                {"token_ids": np.asarray(new).tolist(), "finished": False}
             )
+            req.streamed += int(new.size)
 
     def _finish(self, lane: int, req: Request, out: np.ndarray,
                 n_cycles: int, acc: np.ndarray) -> None:
@@ -626,11 +720,18 @@ class ContinuousBatchingEngine:
         max_length = P + req.max_new_tokens
         seq = out[0, :max_length]
         seq = seq[seq != self.dcfg.mask_token_id]
+        finish_reason: dict = {"type": "length", "length": req.max_new_tokens}
         if self.cfg.stop_token_ids:
             gen = seq[P:]
             hits = np.nonzero(np.isin(gen, list(self.cfg.stop_token_ids)))[0]
             if hits.size > 0:
                 seq = seq[: P + hits[0] + 1]
+                finish_reason = {"type": "stop"}
+        self._complete(lane, req, seq, n_cycles, acc, finish_reason)
+
+    def _complete(self, lane: int, req: Request, seq: np.ndarray,
+                  n_cycles: int, acc: np.ndarray, finish_reason: dict) -> None:
+        P = int(self._lane_prompt_len[lane])
         req.output_ids = seq[None, :]
         req.meta_info = {
             "prompt_tokens": P,
@@ -638,6 +739,7 @@ class ContinuousBatchingEngine:
             "spec_verify_ct": n_cycles,
             "spec_accept_length": float(acc.mean()) if n_cycles else 0.0,
             "e2e_latency_s": time.perf_counter() - req.submitted_at,
+            "finish_reason": finish_reason,
         }
         if n_cycles:
             # refine the tokens-per-cycle estimate driving adaptive windows
@@ -646,6 +748,14 @@ class ContinuousBatchingEngine:
         self._lane_req[lane] = None
         # mark lane idle so the next cycle's freeze logic sees it done
         self._state = self._state._replace(done=self._state.done.at[lane].set(True))
+        if req.stream_queue is not None:
+            tail = seq[P + req.streamed:]
+            req.streamed += int(tail.size)
+            req.stream_queue.put({
+                "token_ids": np.asarray(tail).tolist(),
+                "finished": True,
+                "meta_info": req.meta_info,
+            })
         req.done_event.set()
 
     def run_until_drained(self, max_steps: int = 100_000) -> None:
@@ -723,7 +833,7 @@ class BucketedEngine:
     """
 
     def __init__(self, tcfg: ModelConfig, dcfg: DraftConfig, t_params, d_params,
-                 cfg: EngineConfig, buckets: List[BucketSpec]):
+                 cfg: EngineConfig, buckets: List[BucketSpec], tokenizer=None):
         import dataclasses
 
         if not buckets:
@@ -742,6 +852,7 @@ class BucketedEngine:
                     cfg, num_lanes=b.num_lanes, prompt_cap=b.prompt_cap,
                     max_new_tokens=b.max_new_tokens, prefix_cache_mb=per_pool_mb,
                 ),
+                tokenizer=tokenizer,
             )
             for b in self.buckets
         ]
@@ -761,7 +872,8 @@ class BucketedEngine:
 
     def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None, top_k: int = 0,
-               top_p: float = 1.0) -> Request:
+               top_p: float = 1.0, stop: Optional[Sequence[str]] = None,
+               stream: bool = False) -> Request:
         ids = np.asarray(input_ids).reshape(-1)
         biggest = self.pools[-1]
         max_new = min(
@@ -770,7 +882,7 @@ class BucketedEngine:
         )
         pool = self._route(ids.shape[0], max_new)
         return pool.submit(ids, max_new_tokens=max_new, temperature=temperature,
-                           top_k=top_k, top_p=top_p)
+                           top_k=top_k, top_p=top_p, stop=stop, stream=stream)
 
     def step(self) -> int:
         return sum(p.step() for p in self.pools)

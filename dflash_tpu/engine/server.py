@@ -2,12 +2,14 @@
 
 Mirrors the SGLang endpoints the reference's serving benchmark drives
 (benchmark_sglang.py:29-95, 170-201): POST ``/generate`` with
-``{"input_ids" | "text", "sampling_params": {"max_new_tokens", "temperature",
-"top_k", "top_p"}}``
+``{"input_ids" | "text", "stream"?, "sampling_params": {"max_new_tokens",
+"temperature", "top_k", "top_p", "stop"}}``
 returning ``{"output_ids", "text", "meta_info": {prompt_tokens,
-completion_tokens, spec_verify_ct, spec_accept_length, e2e_latency_s}}``;
-POST ``/flush_cache``; GET ``/health``.  Batched requests (a list body)
-fan out across lanes and return a list.
+completion_tokens, spec_verify_ct, spec_accept_length, e2e_latency_s,
+finish_reason}}``; POST ``/flush_cache``; GET ``/health``.  Batched requests
+(a list body) fan out across lanes and return a list.  ``"stream": true``
+returns server-sent events (``data: {...}`` per scheduling window, cumulative
+output, ``data: [DONE]`` terminator — the SGLang streaming shape).
 
 Stdlib ``ThreadingHTTPServer`` — the engine's background loop owns the TPU;
 handler threads only enqueue and wait on completion events.
@@ -71,6 +73,8 @@ class EngineHTTPServer:
                 try:
                     if isinstance(payload, list):
                         self._send(200, [outer._generate(p) for p in payload])
+                    elif payload.get("stream"):
+                        outer._generate_stream(payload, self)
                     else:
                         self._send(200, outer._generate(payload))
                 except ValueError as e:
@@ -80,7 +84,7 @@ class EngineHTTPServer:
         self.host, self.port = host, self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
-    def _generate(self, payload: dict) -> dict:
+    def _submit(self, payload: dict, stream: bool = False):
         sp = payload.get("sampling_params", {}) or {}
         if "input_ids" in payload:
             ids = np.asarray(payload["input_ids"], np.int32)
@@ -88,13 +92,28 @@ class EngineHTTPServer:
             ids = np.asarray(self.tokenizer.encode(payload["text"]), np.int32)
         else:
             raise ValueError("need input_ids (or text with a tokenizer)")
-        req = self.engine.submit(
+        return self.engine.submit(
             ids,
             max_new_tokens=sp.get("max_new_tokens"),
             temperature=sp.get("temperature"),
             top_k=int(sp.get("top_k", 0) or 0),
             top_p=float(sp.get("top_p", 1.0)),
+            stop=sp.get("stop"),
+            stream=stream,
         )
+
+    def _decode_text(self, ids, meta_info: dict) -> str:
+        """Decode + user-visible stop-string trim (the matched stop string is
+        excluded from the text, SGLang's default)."""
+        text = self.tokenizer.decode(ids, skip_special_tokens=True)
+        fr = (meta_info or {}).get("finish_reason") or {}
+        matched = fr.get("matched")
+        if matched and matched in text:
+            text = text[: text.index(matched)]
+        return text
+
+    def _generate(self, payload: dict) -> dict:
+        req = self._submit(payload)
         if not req.done_event.wait(timeout=600):
             raise ValueError("generation timed out")
         if req.error is not None:
@@ -107,8 +126,35 @@ class EngineHTTPServer:
             "meta_info": req.meta_info,
         }
         if self.tokenizer is not None:
-            result["text"] = self.tokenizer.decode(out, skip_special_tokens=True)
+            result["text"] = self._decode_text(out, req.meta_info)
         return result
+
+    def _generate_stream(self, payload: dict, handler) -> None:
+        """SSE stream: one ``data: {...}`` event per engine scheduling window
+        with the cumulative output (SGLang's streaming /generate shape),
+        terminated by ``data: [DONE]``."""
+        req = self._submit(payload, stream=True)
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/event-stream")
+        handler.send_header("Cache-Control", "no-cache")
+        handler.send_header("Connection", "close")
+        handler.end_headers()
+        acc: list = []
+        while True:
+            item = req.stream_queue.get(timeout=600)
+            acc.extend(item["token_ids"])
+            meta = item.get("meta_info") or {"completion_tokens": len(acc)}
+            chunk = {"output_ids": list(acc), "meta_info": meta}
+            if req.error is not None:
+                chunk["error"] = req.error
+            elif self.tokenizer is not None:
+                chunk["text"] = self._decode_text(np.asarray(acc, np.int64), meta)
+            handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            handler.wfile.flush()
+            if item["finished"]:
+                break
+        handler.wfile.write(b"data: [DONE]\n\n")
+        handler.wfile.flush()
 
     def start(self) -> None:
         self.engine.start()
@@ -188,9 +234,11 @@ def main(argv=None) -> None:
             BucketSpec(*(int(x) for x in rung.split(":")))
             for rung in args.buckets.split(",")
         ]
-        engine = BucketedEngine(tcfg, dcfg, t_params, d_params, cfg, rungs)
+        engine = BucketedEngine(tcfg, dcfg, t_params, d_params, cfg, rungs,
+                                tokenizer=tokenizer)
     else:
-        engine = ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg)
+        engine = ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg,
+                                          tokenizer=tokenizer)
     server = EngineHTTPServer(engine, args.host, args.port, tokenizer)
     server.start()
     print(f"serving on http://{server.host}:{server.port}", flush=True)

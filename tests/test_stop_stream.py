@@ -1,0 +1,185 @@
+"""Stop strings + streaming through the continuous-batching engine and the
+HTTP serving surface (the reference client's sampling_params "stop" field,
+benchmark_sglang.py:48-49, and SGLang's streaming /generate)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dflash_tpu.bench.tokenizer import SyntheticTokenizer
+from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+from dflash_tpu.engine.batching import ContinuousBatchingEngine, EngineConfig
+from dflash_tpu.engine.server import EngineHTTPServer
+from dflash_tpu.models import dflash_draft, qwen3
+
+DTYPE = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def models():
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=4, num_layers=1)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, DTYPE)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, DTYPE)
+    return tcfg, dcfg, t_params, d_params
+
+
+def _engine(models, tokenizer=None, **kw):
+    tcfg, dcfg, t_params, d_params = models
+    cfg = EngineConfig(
+        num_lanes=kw.pop("num_lanes", 2), max_new_tokens=kw.pop("max_new_tokens", 16),
+        block_size=4, prompt_cap=32, prompt_bucket=16, **kw,
+    )
+    return ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg,
+                                    tokenizer=tokenizer)
+
+
+PROMPT = np.asarray([9, 4, 11, 3])
+
+
+def test_stop_requires_tokenizer(models):
+    eng = _engine(models)
+    with pytest.raises(ValueError, match="tokenizer"):
+        eng.submit(PROMPT, stop=["x"])
+
+
+def test_stop_string_halts_and_excludes_match(models):
+    tcfg = models[0]
+    tok = SyntheticTokenizer(tcfg.vocab_size)
+    # baseline run to learn the greedy continuation, then stop on the text of
+    # a mid-generation token
+    base_eng = _engine(models, tokenizer=tok)
+    base = base_eng.submit(PROMPT)
+    base_eng.run_until_drained()
+    gen = base.output_ids[0, 4:]
+    assert gen.shape[0] >= 6, "need a few tokens to stop in the middle"
+    target_tok = int(gen[4])
+    stop_s = f"tok{target_tok}"  # SyntheticTokenizer decodes id -> "tokN"
+
+    eng = _engine(models, tokenizer=tok)
+    req = eng.submit(PROMPT, stop=[stop_s])
+    eng.run_until_drained()
+    assert req.error is None
+    assert req.meta_info["finish_reason"]["type"] == "stop"
+    assert req.meta_info["finish_reason"]["matched"] == stop_s
+    out_gen = req.output_ids[0, 4:]
+    # tokens up to (and including the boundary token of) the match, then halt:
+    # strictly shorter than the unstopped run and a prefix of it
+    assert out_gen.shape[0] <= 5
+    np.testing.assert_array_equal(out_gen, gen[: out_gen.shape[0]])
+
+
+def test_stop_string_never_matching_runs_to_length(models):
+    tok = SyntheticTokenizer(models[0].vocab_size)
+    eng = _engine(models, tokenizer=tok)
+    req = eng.submit(PROMPT, stop=["NEVER-IN-VOCAB"])
+    eng.run_until_drained()
+    assert req.meta_info["finish_reason"]["type"] in ("length", "stop")
+    assert req.meta_info["completion_tokens"] >= 8
+
+
+def test_streaming_tokens_concatenate_to_final_output(models):
+    eng = _engine(models)
+    req = eng.submit(PROMPT, stream=True)
+    eng.run_until_drained()
+    chunks, finished = [], False
+    while not finished:
+        item = req.stream_queue.get(timeout=5)
+        chunks.extend(item["token_ids"])
+        finished = item["finished"]
+    np.testing.assert_array_equal(
+        np.asarray(chunks), req.output_ids[0, req.meta_info["prompt_tokens"]:]
+    )
+    assert item["meta_info"]["completion_tokens"] == len(chunks)
+
+
+def test_streaming_matches_non_streaming_output(models):
+    a = _engine(models)
+    ra = a.submit(PROMPT)
+    a.run_until_drained()
+    b = _engine(models)
+    rb = b.submit(PROMPT, stream=True)
+    b.run_until_drained()
+    np.testing.assert_array_equal(ra.output_ids, rb.output_ids)
+
+
+def test_streaming_in_sync_mode(models):
+    eng = _engine(models, overlap=False)
+    req = eng.submit(PROMPT, stream=True)
+    eng.run_until_drained()
+    chunks, finished = [], False
+    while not finished:
+        item = req.stream_queue.get(timeout=5)
+        chunks.extend(item["token_ids"])
+        finished = item["finished"]
+    np.testing.assert_array_equal(
+        np.asarray(chunks), req.output_ids[0, req.meta_info["prompt_tokens"]:]
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def server(models):
+    tok = SyntheticTokenizer(models[0].vocab_size)
+    eng = _engine(models, tokenizer=tok, num_lanes=2)
+    srv = EngineHTTPServer(eng, port=0, tokenizer=tok)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, body):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/generate", json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.read()
+
+
+def test_http_stop_string_trims_text(server):
+    base = json.loads(_post(server, {
+        "input_ids": PROMPT.tolist(),
+        "sampling_params": {"max_new_tokens": 16},
+    }))
+    words = base["text"].split()
+    assert len(words) >= 4
+    stop_s = words[2]
+    got = json.loads(_post(server, {
+        "input_ids": PROMPT.tolist(),
+        "sampling_params": {"max_new_tokens": 16, "stop": [stop_s]},
+    }))
+    assert got["meta_info"]["finish_reason"]["type"] == "stop"
+    assert stop_s not in got["text"]
+    # text is the base text cut at the FIRST occurrence of the stop string
+    # (substring semantics — it may match inside an earlier word)
+    assert got["text"] == base["text"][: base["text"].index(stop_s)]
+
+
+def test_http_streaming_sse(server):
+    raw = _post(server, {
+        "input_ids": PROMPT.tolist(), "stream": True,
+        "sampling_params": {"max_new_tokens": 16},
+    }).decode()
+    events = [l[len("data: "):] for l in raw.split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert len(chunks) >= 2, "expect more than one streamed window"
+    # cumulative output grows monotonically and the last equals non-streamed
+    lens = [len(c["output_ids"]) for c in chunks]
+    assert lens == sorted(lens)
+    final = chunks[-1]
+    assert final["meta_info"]["completion_tokens"] == len(final["output_ids"])
+    base = json.loads(_post(server, {
+        "input_ids": PROMPT.tolist(),
+        "sampling_params": {"max_new_tokens": 16},
+    }))
+    assert final["output_ids"] == base["output_ids"]
