@@ -398,21 +398,31 @@ def main(argv=None) -> None:
                                forced_acc=forced)
         elif args.mode == "dynamic":
             # Compile every candidate block size's cycle executable: one
-            # warmup generation whose scheduler round-robins all candidates
-            # (same static shapes as the measured runs -> XLA-cache warm).
+            # warmup generation whose scheduler round-robins all candidates.
+            # The forced-acc override must match the measured runs too — its
+            # presence changes the traced cycle jaxpr, so a warmup without it
+            # compiles the WRONG executables and the measured loop recompiles.
             from dflash_tpu.sched import EWMAScheduler, SchedulerConfig
             from dflash_tpu.spec.policy import policy_generate
 
+            w_forced_by_bs = None
+            if args.forced_tau is not None:
+                all_bs = sorted(set(candidates) | {block_size})
+                w_forced_by_bs = make_forced_acc_by_bs(
+                    args.max_new_tokens, all_bs, args.forced_tau, args.seed
+                )
             if args.scheduler_mode == "fixed":
                 policy_generate(engine, w_ids, fixed_block_size=block_size,
-                                temperature=args.temperature)
+                                temperature=args.temperature,
+                                forced_acc_by_bs=w_forced_by_bs)
             else:
                 wsched = EWMAScheduler(SchedulerConfig(
                     candidates=tuple(candidates), mode=args.scheduler_mode,
                     warmup_cycles=args.warmup_cycles,
                 ))
                 policy_generate(engine, w_ids, scheduler=wsched,
-                                temperature=args.temperature)
+                                temperature=args.temperature,
+                                forced_acc_by_bs=w_forced_by_bs)
         elif args.collect_profile:
             from dflash_tpu.spec.profiled import profiled_generate
 

@@ -415,19 +415,27 @@ class ContinuousBatchingEngine:
         self.cycle_count += window
 
     def _harvest(self, pending: tuple) -> None:
-        """Retire lanes using a window's peeked state (overlap mode).  Lanes
-        whose epoch advanced since the peek (re-admitted) are skipped — their
-        peek rows describe the PREVIOUS request.  Lanes with streaming or
-        stop-string requests are serviced every window (token push / stop
-        scan), not just at completion."""
+        """Retire lanes using a window's peeked state (overlap mode: one
+        window stale; sync mode passes the live state through the same path).
+        Lanes whose epoch advanced since the peek (re-admitted) are skipped —
+        their peek rows describe the PREVIOUS request.  Lanes with streaming
+        or stop-string requests are serviced every window (token push / stop
+        scan) — including the window they finish in, so a stop string
+        committed in the final window still truncates the output."""
         (start_d, done_d, cycle_idx_d, output_ids_d, acc_trace_d), epochs = pending
         start = np.asarray(start_d)
         done = np.asarray(done_d)
-        self._last_start_host = start
+        fresh = epochs == self._lane_epoch
+        # _pick_window reads these; a stale (pre-re-admission) row would make
+        # the adaptive window think the NEW request is nearly done
+        if self._last_start_host is None:
+            self._last_start_host = np.where(fresh, start, 0)
+        else:
+            self._last_start_host = np.where(fresh, start, self._last_start_host)
         out_h = acc_h = cyc_h = None
         for lane in range(self.cfg.num_lanes):
             req = self._lane_req[lane]
-            if req is None or epochs[lane] != self._lane_epoch[lane]:
+            if req is None or not fresh[lane]:
                 continue
             finished = bool(done[lane] or start[lane] >= self._lane_max_length[lane])
             needs_scan = bool(req.stop_strings or req.stream_queue is not None)
@@ -438,10 +446,11 @@ class ContinuousBatchingEngine:
                 acc_h = np.asarray(acc_trace_d)
                 cyc_h = np.asarray(cycle_idx_d)
             n_cycles = int(cyc_h[lane])
-            if needs_scan and not finished:
-                if self._service_lane(lane, req, int(start[lane]), out_h[lane],
-                                      n_cycles, acc_h[lane][:n_cycles]):
-                    continue  # force-finished on a stop-string hit
+            if needs_scan and self._service_lane(
+                lane, req, int(start[lane]), out_h[lane],
+                n_cycles, acc_h[lane][:n_cycles]
+            ):
+                continue  # force-finished on a stop-string hit
             if finished:
                 self._finish(lane, req, out_h[lane], n_cycles,
                              acc_h[lane][:n_cycles])
@@ -638,26 +647,13 @@ class ContinuousBatchingEngine:
         self._bind_lane(lane, req)
 
     def _retire_finished(self) -> None:
-        start = np.asarray(self._state.start)
-        done = np.asarray(self._state.done)
-        self._last_start_host = start
-        for lane in range(self.cfg.num_lanes):
-            req = self._lane_req[lane]
-            if req is None:
-                continue
-            finished = bool(done[lane] or start[lane] >= self._lane_max_length[lane])
-            needs_scan = bool(req.stop_strings or req.stream_queue is not None)
-            if not (finished or needs_scan):
-                continue
-            n_cycles = int(self._state.cycle_idx[lane])
-            acc = np.asarray(self._state.acc_trace[lane])[:n_cycles]
-            out_row = np.asarray(self._state.output_ids[lane])
-            if needs_scan and not finished:
-                if self._service_lane(lane, req, int(start[lane]), out_row,
-                                      n_cycles, acc):
-                    continue
-            if finished:
-                self._finish(lane, req, out_row, n_cycles, acc)
+        """Sync-mode retire: the live state through the shared harvest path
+        (one bulk transfer per array, not per lane)."""
+        st = self._state
+        self._harvest((
+            (st.start, st.done, st.cycle_idx, st.output_ids, st.acc_trace),
+            self._lane_epoch.copy(),
+        ))
 
     def _service_lane(self, lane: int, req: Request, start_l: int,
                       out_row: np.ndarray, n_cycles: int,

@@ -102,14 +102,18 @@ class EngineHTTPServer:
             stream=stream,
         )
 
-    def _decode_text(self, ids, meta_info: dict) -> str:
+    def _decode_text(self, ids, meta_info: dict, stop_strings=()) -> str:
         """Decode + user-visible stop-string trim (the matched stop string is
-        excluded from the text, SGLang's default)."""
+        excluded from the text, SGLang's default).  ``stop_strings`` lets
+        streaming chunks trim BEFORE the engine's finish_reason lands, so
+        cumulative streamed text never shows a stop string and then shrinks."""
         text = self.tokenizer.decode(ids, skip_special_tokens=True)
         fr = (meta_info or {}).get("finish_reason") or {}
         matched = fr.get("matched")
-        if matched and matched in text:
-            text = text[: text.index(matched)]
+        cuts = [text.index(s) for s in (*stop_strings, *([matched] if matched else ()))
+                if s and s in text]
+        if cuts:
+            text = text[: min(cuts)]
         return text
 
     def _generate(self, payload: dict) -> dict:
@@ -133,6 +137,9 @@ class EngineHTTPServer:
         """SSE stream: one ``data: {...}`` event per engine scheduling window
         with the cumulative output (SGLang's streaming /generate shape),
         terminated by ``data: [DONE]``."""
+        sp = payload.get("sampling_params", {}) or {}
+        stop = sp.get("stop")
+        stop_strings = (stop,) if isinstance(stop, str) else tuple(stop or ())
         req = self._submit(payload, stream=True)
         handler.send_response(200)
         handler.send_header("Content-Type", "text/event-stream")
@@ -148,7 +155,9 @@ class EngineHTTPServer:
             if req.error is not None:
                 chunk["error"] = req.error
             elif self.tokenizer is not None:
-                chunk["text"] = self._decode_text(np.asarray(acc, np.int64), meta)
+                chunk["text"] = self._decode_text(
+                    np.asarray(acc, np.int64), meta, stop_strings
+                )
             handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
             handler.wfile.flush()
             if item["finished"]:

@@ -74,6 +74,24 @@ def test_stop_string_halts_and_excludes_match(models):
     np.testing.assert_array_equal(out_gen, gen[: out_gen.shape[0]])
 
 
+def test_stop_string_in_final_window_still_truncates(models):
+    """A stop string committed in the SAME window the request reaches
+    max_new_tokens must still win: finish_reason=stop, output truncated."""
+    tok = SyntheticTokenizer(models[0].vocab_size)
+    base_eng = _engine(models, tokenizer=tok, max_new_tokens=8)
+    base = base_eng.submit(PROMPT, max_new_tokens=8)
+    base_eng.run_until_drained()
+    gen = base.output_ids[0, 4:]
+    assert gen.shape[0] == 8, "needs a full-length run"
+    stop_s = f"tok{int(gen[6])}"  # near the end: same window as length finish
+
+    eng = _engine(models, tokenizer=tok, max_new_tokens=8)
+    req = eng.submit(PROMPT, max_new_tokens=8, stop=[stop_s])
+    eng.run_until_drained()
+    assert req.meta_info["finish_reason"]["type"] == "stop"
+    assert req.output_ids.shape[1] < base.output_ids.shape[1]
+
+
 def test_stop_string_never_matching_runs_to_length(models):
     tok = SyntheticTokenizer(models[0].vocab_size)
     eng = _engine(models, tokenizer=tok)
