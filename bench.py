@@ -137,7 +137,9 @@ def main():
 
     # --- batched serving throughput (optional, BENCH_LANES=R) --------------
     batched_detail = {}
-    lanes = int(os.environ.get("BENCH_LANES", "4" if preset != "smoke" else "0"))
+    # 16 lanes is the measured single-chip saturation point for the 4B
+    # geometry (docs/RESULTS.md lane-scaling table) — report the chip at peak.
+    lanes = int(os.environ.get("BENCH_LANES", "16" if preset != "smoke" else "0"))
     if lanes > 1:
         from dflash_tpu.spec.batched import jit_batched_decode, jit_batched_prefill
 

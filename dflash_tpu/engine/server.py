@@ -11,6 +11,10 @@ finish_reason}}``; POST ``/flush_cache``; GET ``/health``.  Batched requests
 returns server-sent events (``data: {...}`` per scheduling window, cumulative
 output, ``data: [DONE]`` terminator — the SGLang streaming shape).
 
+Also serves the OpenAI-compatible ``/v1/chat/completions`` and
+``/v1/completions`` (non-stream + SSE delta chunks), the API front the
+reference's serving stack gets from SGLang.
+
 Stdlib ``ThreadingHTTPServer`` — the engine's background loop owns the TPU;
 handler threads only enqueue and wait on completion events.
 """
@@ -19,6 +23,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -29,9 +34,10 @@ from dflash_tpu.engine.batching import ContinuousBatchingEngine
 
 class EngineHTTPServer:
     def __init__(self, engine: ContinuousBatchingEngine, host: str = "127.0.0.1",
-                 port: int = 30000, tokenizer=None):
+                 port: int = 30000, tokenizer=None, model_name: str = "dflash-tpu"):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.model_name = model_name
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -66,6 +72,14 @@ class EngineHTTPServer:
                         self._send(200, {"status": "ok"})
                     except RuntimeError as e:
                         self._send(409, {"error": str(e)})
+                    return
+                if self.path in ("/v1/chat/completions", "/v1/completions"):
+                    try:
+                        outer._openai(payload, self,
+                                      is_chat=self.path.endswith("chat/completions"))
+                    except ValueError as e:
+                        self._send(400, {"error": {"message": str(e),
+                                                   "type": "invalid_request_error"}})
                     return
                 if self.path != "/generate":
                     self._send(404, {"error": "not found"})
@@ -165,6 +179,113 @@ class EngineHTTPServer:
         handler.wfile.write(b"data: [DONE]\n\n")
         handler.wfile.flush()
 
+    # -- OpenAI-compatible surface ------------------------------------------
+    # /v1/chat/completions and /v1/completions (the API SGLang exposes for
+    # the reference's serving stack): chat messages run through the
+    # tokenizer's chat template; stream=true emits chat.completion.chunk SSE
+    # deltas.  Single-choice (n=1) only.
+
+    def _openai(self, payload: dict, handler, *, is_chat: bool) -> None:
+        if self.tokenizer is None:
+            raise ValueError("OpenAI endpoints need a tokenizer")
+        if payload.get("n", 1) != 1:
+            raise ValueError("only n=1 is supported")
+        if is_chat:
+            messages = payload.get("messages")
+            if not messages:
+                raise ValueError("messages is required")
+            text = self.tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True
+            )
+        else:
+            text = payload.get("prompt")
+            if not isinstance(text, str):
+                raise ValueError("prompt must be a string")
+        stop = payload.get("stop")
+        stop_strings = (stop,) if isinstance(stop, str) else tuple(stop or ())
+        stream = bool(payload.get("stream", False))
+        req = self.engine.submit(
+            np.asarray(self.tokenizer.encode(text), np.int32),
+            max_new_tokens=payload.get("max_tokens")
+            or payload.get("max_completion_tokens"),
+            temperature=float(payload.get("temperature", 1.0)),
+            top_k=int(payload.get("top_k", 0) or 0),
+            top_p=float(payload.get("top_p", 1.0)),
+            stop=stop_strings or None,
+            stream=stream,
+        )
+        rid = f"{'chatcmpl' if is_chat else 'cmpl'}-{req.rid}"
+        created = int(time.time())
+        obj = "chat.completion" if is_chat else "text_completion"
+
+        def finish_of(meta) -> str:
+            fr = (meta or {}).get("finish_reason") or {}
+            return "stop" if fr.get("type") == "stop" else "length"
+
+        if not stream:
+            if not req.done_event.wait(timeout=600):
+                raise ValueError("generation timed out")
+            if req.error is not None:
+                handler._send(500, {"error": {"message": req.error,
+                                              "type": "engine_error"}})
+                return
+            out = req.output_ids[0, req.meta_info["prompt_tokens"]:]
+            content = self._decode_text(out, req.meta_info, stop_strings)
+            choice = {"index": 0, "finish_reason": finish_of(req.meta_info)}
+            if is_chat:
+                choice["message"] = {"role": "assistant", "content": content}
+            else:
+                choice["text"] = content
+            handler._send(200, {
+                "id": rid, "object": obj, "created": created,
+                "model": self.model_name, "choices": [choice],
+                "usage": {
+                    "prompt_tokens": req.meta_info["prompt_tokens"],
+                    "completion_tokens": req.meta_info["completion_tokens"],
+                    "total_tokens": req.meta_info["prompt_tokens"]
+                    + req.meta_info["completion_tokens"],
+                },
+            })
+            return
+
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/event-stream")
+        handler.send_header("Cache-Control", "no-cache")
+        handler.send_header("Connection", "close")
+        handler.end_headers()
+        acc: list = []
+        prev_text = ""
+        first = True
+        chunk_obj = "chat.completion.chunk" if is_chat else obj
+        while True:
+            item = req.stream_queue.get(timeout=600)
+            acc.extend(item["token_ids"])
+            meta = item.get("meta_info")
+            cum = self._decode_text(np.asarray(acc, np.int64), meta, stop_strings)
+            delta = cum[len(prev_text):]
+            prev_text = cum
+            fin = item["finished"]
+            choice = {"index": 0, "finish_reason": finish_of(meta) if fin else None}
+            if is_chat:
+                delta_obj = {}
+                if first:
+                    delta_obj["role"] = "assistant"
+                    first = False
+                if delta:
+                    delta_obj["content"] = delta
+                choice["delta"] = delta_obj
+            else:
+                choice["text"] = delta
+            chunk = {"id": rid, "object": chunk_obj,
+                     "created": created, "model": self.model_name,
+                     "choices": [choice]}
+            handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            handler.wfile.flush()
+            if fin:
+                break
+        handler.wfile.write(b"data: [DONE]\n\n")
+        handler.wfile.flush()
+
     def start(self) -> None:
         self.engine.start()
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
@@ -248,7 +369,8 @@ def main(argv=None) -> None:
     else:
         engine = ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg,
                                           tokenizer=tokenizer)
-    server = EngineHTTPServer(engine, args.host, args.port, tokenizer)
+    server = EngineHTTPServer(engine, args.host, args.port, tokenizer,
+                              model_name=Path(args.model_name_or_path).name)
     server.start()
     print(f"serving on http://{server.host}:{server.port}", flush=True)
     try:
