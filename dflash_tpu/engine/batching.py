@@ -715,14 +715,17 @@ class ContinuousBatchingEngine:
         P = int(self._lane_prompt_len[lane])
         max_length = P + req.max_new_tokens
         seq = out[0, :max_length]
-        seq = seq[seq != self.dcfg.mask_token_id]
+        # strip masks from the GENERATED region only (a prompt may contain
+        # the mask token id legitimately)
+        gen = seq[P:]
+        gen = gen[gen != self.dcfg.mask_token_id]
         finish_reason: dict = {"type": "length", "length": req.max_new_tokens}
         if self.cfg.stop_token_ids:
-            gen = seq[P:]
             hits = np.nonzero(np.isin(gen, list(self.cfg.stop_token_ids)))[0]
             if hits.size > 0:
-                seq = seq[: P + hits[0] + 1]
+                gen = gen[: hits[0] + 1]
                 finish_reason = {"type": "stop"}
+        seq = np.concatenate([seq[:P], gen])
         self._complete(lane, req, seq, n_cycles, acc, finish_reason)
 
     def _complete(self, lane: int, req: Request, seq: np.ndarray,

@@ -47,16 +47,6 @@ def _stack(tensors: Dict, fmt: str, L: int, transpose: bool = False, dtype=jnp.b
     return jnp.stack(arrs).astype(dtype)
 
 
-def _stack_fused(tensors: Dict, fmts, L: int, dtype=jnp.bfloat16):
-    """Stack per-layer fused projections: concat the (transposed) weights of
-    several HF linears along the output axis (qkv / gate+up fusion)."""
-    arrs = []
-    for i in range(L):
-        parts = [tensors[f.format(i=i)].T for f in fmts]
-        arrs.append(jnp.concatenate(parts, axis=1))
-    return jnp.stack(arrs).astype(dtype)
-
-
 def load_target_params(path: str | Path, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
     """Load a Qwen3/Llama-family causal LM checkpoint."""
     path = Path(path)

@@ -587,9 +587,6 @@ def forward_block_candidates(
     blk_mask = (
         jnp.arange(B, dtype=jnp.int32)[None, :] <= jnp.arange(B, dtype=jnp.int32)[:, None]
     )  # [B, B]
-    mask = jnp.concatenate(
-        [jnp.broadcast_to(ctx_mask, (B, T)), blk_mask], axis=1
-    )  # [B, T+B]
 
     lp = params["layers"]
     L = cfg.num_hidden_layers
@@ -625,10 +622,16 @@ def forward_block_candidates(
                 ctx_layer.v_scale, k, v, ctx_mask[0], blk_mask, scale,
             )
         else:
-            k_ctx, v_ctx = ctx_layer.k, ctx_layer.v
-            k_all = jnp.concatenate([jnp.broadcast_to(k_ctx, (C, T, nkv, d)), k], axis=1)
-            v_all = jnp.concatenate([jnp.broadcast_to(v_ctx, (C, T, nkv, d)), v], axis=1)
-            attn = gqa_attention(q, k_all, v_all, mask, scale)
+            # Same two-part LSE merge for bf16/f32 caches (scales=None): the
+            # shared ctx rows keep batch dim 1 — the earlier concatenate
+            # materialized a per-candidate [C, T, n_kv, d] broadcast copy of
+            # the whole ctx K/V per layer, HBM traffic growing with context.
+            from dflash_tpu.ops.attention import gqa_attention_quant_ctx_plus_block
+
+            attn = gqa_attention_quant_ctx_plus_block(
+                q, ctx_layer.k, None, ctx_layer.v, None, k, v,
+                ctx_mask[0], blk_mask, scale,
+            )
         attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
         hidden = hidden + attn
 

@@ -11,6 +11,8 @@ contribute.  A fused Pallas kernel with identical semantics lives in
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -149,27 +151,28 @@ def gqa_attention_quant(
 
 def gqa_attention_quant_ctx_plus_block(
     q: jax.Array,  # [C, B, n_heads, d] — C candidates x B block queries
-    ctx_kq: jax.Array,  # [1, T, n_kv, d] int8 — SHARED committed-context keys
-    ctx_ks: jax.Array,  # [1, T, n_kv] f32 per-row key scales
-    ctx_vq: jax.Array,  # [1, T, n_kv, d] int8
-    ctx_vs: jax.Array,  # [1, T, n_kv] f32
+    ctx_kq: jax.Array,  # [1, T, n_kv, d] int8 (or bf16 when scales are None) — SHARED ctx keys
+    ctx_ks: Optional[jax.Array],  # [1, T, n_kv] f32 per-row key scales; None = unquantized ctx
+    ctx_vq: jax.Array,  # [1, T, n_kv, d]
+    ctx_vs: Optional[jax.Array],  # [1, T, n_kv]; None = unquantized ctx
     blk_k: jax.Array,  # [C, B, n_kv, d] per-candidate block keys (bf16/f32)
     blk_v: jax.Array,  # [C, B, n_kv, d]
     ctx_mask: jax.Array,  # [T] bool — valid committed rows (< frontier)
     blk_mask: jax.Array,  # [B, B] bool — causal within the block
     scale: float,
 ) -> jax.Array:
-    """Shared-int8-context + per-candidate-block attention, merged by
-    log-sum-exp.
+    """Shared-context + per-candidate-block attention, merged by log-sum-exp.
 
-    The candidate verify previously dequantized the whole ctx cache slice to
-    bf16 and concatenated it per layer (a copy that grows with context).
-    Here the softmax is computed in two parts — the ctx part consumes the
-    int8 rows directly with batch dim 1 (no per-candidate broadcast, no
-    dequantized copy; scales factor out exactly as in
-    :func:`gqa_attention_quant`) and the tiny per-candidate block part is
-    bf16 — then merged with the standard flash-attention running-max
-    identity.  Mathematically identical to softmax over the concatenation.
+    The candidate verify previously broadcast (and, for int8 caches,
+    dequantized) the whole ctx cache slice per candidate and concatenated it
+    per layer — a C-fold copy that grows with context.  Here the softmax is
+    computed in two parts — the ctx part consumes the cache rows with batch
+    dim 1 (no per-candidate broadcast; int8 rows stay int8, their scales
+    factoring out exactly as in :func:`gqa_attention_quant`; pass
+    ``ctx_ks=ctx_vs=None`` for bf16/f32 caches) and the tiny per-candidate
+    block part is bf16 — then merged with the standard flash-attention
+    running-max identity.  Mathematically identical to softmax over the
+    concatenation.
 
     Returns [C, B, n_heads * d].
     """
@@ -178,20 +181,27 @@ def gqa_attention_quant_ctx_plus_block(
     groups = n_heads // n_kv
     qg = q.reshape(Cc, B, n_kv, groups, d)
 
-    # --- ctx part: int8 keys/values, shared across candidates -------------
+    # --- ctx part: cache rows shared across candidates (batch dim 1) -------
     s1 = jnp.einsum(
         "cqkgd,skd->ckgqs", qg, ctx_kq[0].astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
-    ks = jnp.moveaxis(ctx_ks[0], -1, 0)[None, :, None, None, :]  # [1,n_kv,1,1,T]
-    s1 = s1 * (ks * scale)
+    if ctx_ks is not None:
+        ks = jnp.moveaxis(ctx_ks[0], -1, 0)[None, :, None, None, :]  # [1,n_kv,1,1,T]
+        s1 = s1 * (ks * scale)
+    else:
+        s1 = s1 * scale
     s1 = jnp.where(ctx_mask[None, None, None, None, :], s1, _NEG_INF)
     m1 = jnp.max(s1, axis=-1)  # [C, n_kv, g, B]
     e1 = jnp.exp(s1 - m1[..., None])
     l1 = jnp.sum(e1, axis=-1)
-    vs = jnp.moveaxis(ctx_vs[0], -1, 0)[None, :, None, None, :]
+    if ctx_vs is not None:
+        vs = jnp.moveaxis(ctx_vs[0], -1, 0)[None, :, None, None, :]
+        e1v = (e1 * vs).astype(q.dtype)
+    else:
+        e1v = e1.astype(q.dtype)
     o1 = jnp.einsum(
-        "ckgqs,skd->ckgqd", (e1 * vs).astype(q.dtype), ctx_vq[0].astype(q.dtype),
+        "ckgqs,skd->ckgqd", e1v, ctx_vq[0].astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
 

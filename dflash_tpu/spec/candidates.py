@@ -41,7 +41,13 @@ import numpy as np
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
 from dflash_tpu.ops.sampling import acceptance_length, sample
-from dflash_tpu.spec.engine import GenerationResult, LoopState, SpecEngine, _prefill
+from dflash_tpu.spec.engine import (
+    GenerationResult,
+    LoopState,
+    SpecEngine,
+    _draft_stage,
+    _prefill,
+)
 
 _NEG = jnp.float32(-1e30)
 
@@ -278,23 +284,13 @@ def _candidate_cycle(
     start = state.start
     key, k_post = jax.random.split(state.key)
 
-    block = jax.lax.dynamic_slice(state.output_ids, (0, start), (1, B))
     block_positions = start + jnp.arange(B, dtype=jnp.int32)[None, :]
 
-    # draft (identical to engine._cycle)
-    w0 = jnp.clip(start - B, 0, T - B)
-    feats_w = jax.lax.dynamic_slice(
-        state.features, (0, w0, 0), (1, B, state.features.shape[2])
+    # draft: the engine's stage, with the logits the candidate builders rank
+    d_kv, block, draft_logits = _draft_stage(
+        state, t_params, d_params, tcfg=tcfg, dcfg=dcfg, block_size=B,
+        with_logits=True,
     )
-    w_positions = w0 + jnp.arange(B, dtype=jnp.int32)[None, :]
-    d_kv = dflash_draft.append_ctx(d_params, dcfg, state.d_kv, feats_w, w_positions, w0)
-    noise_embeds = qwen3.embed(t_params, block)
-    d_hidden = dflash_draft.forward(
-        d_params, dcfg, noise_embeds, block_positions, d_kv, start
-    )
-    draft_logits = qwen3.lm_head(t_params, d_hidden[:, 1:])
-    draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
-    block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
 
     # build candidates + adaptive budget masking
     cand, scores = _BUILDERS[cc.mode](block, draft_logits, cc)
@@ -318,10 +314,16 @@ def _candidate_cycle(
     posterior_all = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)  # [C, B]
     acc_all = acceptance_length(cand[:, 1:], posterior_all)  # [C]
 
-    # lexicographic winner: tau desc, draft score desc, index asc
-    composite = acc_all.astype(jnp.float32) * 1e6 + jnp.clip(scores, -1e6, 1e6) * 1e-2 \
-        - jnp.arange(C, dtype=jnp.float32) * 1e-5
-    winner = jnp.argmax(composite)
+    # lexicographic winner: tau desc, draft score desc, index asc — staged
+    # exactly rather than as a float composite: at acc=4 the 1e6-scaled
+    # float32 composite's ULP is 0.5, which silently discards score gaps
+    # below ~50 logits and the index term entirely (the reference's own
+    # composite, benchmark_candidate_solutions.py:606, has the same flaw;
+    # this implements its documented intent)
+    tier1 = acc_all == jnp.max(acc_all)
+    score_m = jnp.where(tier1, scores, _NEG)
+    tier2 = tier1 & (score_m == jnp.max(score_m))
+    winner = jnp.argmax(tier2)  # first True == lowest index
     acc = acc_all[winner]
     if forced_acc is not None:
         # Benchmark-only acceptance override (same contract as the vanilla

@@ -345,13 +345,16 @@ def _draft_stage(
     ctx_window: Optional[int] = None,
     draft_temperature: Optional[jax.Array] = None,
     draft_steps: int = 1,
-) -> Tuple[KVCache, jax.Array]:
+    with_logits: bool = False,
+):
     """Draft context append + non-causal draft forward + draft sampling.
 
-    Returns (updated draft KV cache, drafted block [1, B]).  With
-    ``draft_steps > 1``, re-embeds and re-denoises the drafted block
-    repeatedly before verification (reference multi-step refinement,
-    benchmark.py:112-141 — measured there to collapse tau; kept for parity).
+    Returns (updated draft KV cache, drafted block [1, B]); with
+    ``with_logits`` also the final draft logits [1, B-1, V] (the candidate
+    builders rank alternates from them).  With ``draft_steps > 1``, re-embeds
+    and re-denoises the drafted block repeatedly before verification
+    (reference multi-step refinement, benchmark.py:112-141 — measured there
+    to collapse tau; kept for parity).
     """
     B = block_size
     W = ctx_window if ctx_window is not None else B
@@ -383,6 +386,8 @@ def _draft_stage(
         else:
             draft_tokens = sample(draft_logits, draft_temperature, k_draft)
         block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
+    if with_logits:
+        return d_kv, block, draft_logits
     return d_kv, block
 
 
@@ -699,7 +704,15 @@ class SpecEngine:
 
     def _resolve_chunk(self, padded_len: int) -> Optional[int]:
         if self.prefill_chunk == "auto":
-            return 512 if padded_len > 4096 else None
+            if padded_len <= 4096:
+                return None
+            # chunked prefill needs chunk | padded_len; prompts are padded to
+            # prompt_bucket multiples (128 by default), so walk down from the
+            # measured-best 512 to a divisor — full prefill if none divides
+            for c in (512, 256, 128):
+                if padded_len % c == 0:
+                    return c
+            return None
         return self.prefill_chunk
 
     def _pad_prompt(self, input_ids: np.ndarray) -> tuple[jax.Array, int, int]:
@@ -716,16 +729,18 @@ class SpecEngine:
 
     def _trim(self, output_ids: np.ndarray, prompt_len: int) -> np.ndarray:
         """Reference post-processing (benchmark.py:196-202): cut at
-        max_length, strip mask tokens, truncate at first stop token."""
+        max_length, strip mask tokens, truncate at first stop token.  Mask
+        stripping applies to the GENERATED region only — a prompt may
+        legitimately contain the mask token id."""
         max_length = prompt_len + self.max_new_tokens
         seq = output_ids[0, :max_length]
-        seq = seq[seq != self.dcfg.mask_token_id]
+        gen = seq[prompt_len:]
+        gen = gen[gen != self.dcfg.mask_token_id]
         if self.stop_token_ids:
-            gen = seq[prompt_len:]
             hits = np.nonzero(np.isin(gen, list(self.stop_token_ids)))[0]
             if hits.size > 0:
-                seq = seq[: prompt_len + hits[0] + 1]
-        return seq[None, :]
+                gen = gen[: hits[0] + 1]
+        return np.concatenate([seq[:prompt_len], gen])[None, :]
 
     @staticmethod
     def _filters(top_k: int, top_p: float) -> Optional[SamplingFilters]:

@@ -68,6 +68,10 @@ def _round_proposal(
     block = jnp.full((1, round_bs), dcfg.mask_token_id, jnp.int32)
     block = block.at[0, 0].set(last_token)
     ctx_cache = init_kv_cache(m, 1, 1, taps.dtype)
+    # ctx row at pos-1 while the taps come from the forward AT pos: an
+    # off-by-one the reference itself has (pos_start = current_pos - ctx_len,
+    # benchmark_multiround_spec.py:98-104) — kept verbatim for parity; the
+    # exactness guarantee holds for ANY proposal distribution regardless.
     ctx_positions = (pos - 1)[None, None] * jnp.ones((1, 1), jnp.int32)
     ctx_cache = dflash_draft.append_ctx(
         d_params, dcfg, ctx_cache, taps, ctx_positions, jnp.zeros((), jnp.int32)

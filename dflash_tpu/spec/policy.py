@@ -120,6 +120,12 @@ def policy_generate(
             else scheduler.select(cycle_idx)
         )
         c0 = time.perf_counter()
+        # draft_temperature=temp is reference-faithful for THIS harness: the
+        # dynamic-schedule path samples the draft at temperature (reference
+        # benchmark_dynamic_schedule.py:342) whereas the core loop drafts
+        # greedily (benchmark.py:140).  At T>0 this path therefore diverges
+        # from engine.generate by design — compare policy runs only against
+        # other policy runs (e.g. --scheduler-mode fixed).
         if forced_jnp is not None:
             state, aux = cycle_fns[bs](
                 state, engine.t_params, engine.d_params, temp,

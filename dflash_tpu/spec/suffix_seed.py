@@ -23,8 +23,13 @@ import numpy as np
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
-from dflash_tpu.ops.sampling import acceptance_length, sample
-from dflash_tpu.spec.engine import GenerationResult, LoopState, SpecEngine, _prefill
+from dflash_tpu.spec.engine import (
+    GenerationResult,
+    LoopState,
+    SpecEngine,
+    _prefill,
+    _verify_stage,
+)
 
 
 class SeedState(NamedTuple):
@@ -63,7 +68,6 @@ def _seeded_cycle(
     s = state.inner
     T = s.output_ids.shape[1]
     start = s.start
-    key, k_post = jax.random.split(s.key)
 
     block = jax.lax.dynamic_slice(s.output_ids, (0, start), (1, B))
     block_positions = start + jnp.arange(B, dtype=jnp.int32)[None, :]
@@ -92,47 +96,17 @@ def _seeded_cycle(
     draft_tokens = jnp.argmax(draft_logits, axis=-1).astype(jnp.int32)
     block = jnp.concatenate([block[:, :1], draft_tokens], axis=1)
 
-    # -- verify + accept (identical to engine._verify_stage) ----------------
-    v_embeds = qwen3.embed(t_params, block)
-    v_mask = qwen3.causal_mask(block_positions[0], T)
-    res = qwen3.forward(
-        t_params, tcfg, v_embeds, block_positions, s.t_kv, start, v_mask,
-        tap_ids=dcfg.target_layer_ids,
+    # -- verify + accept: the engine's stage (no local copy) ----------------
+    inner = _verify_stage(
+        s, d_kv, block, t_params, temperature,
+        tcfg=tcfg, dcfg=dcfg, block_size=B, stop_token_ids=stop_token_ids,
     )
-    posterior = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)
-    acc = acceptance_length(block[:, 1:], posterior)[0]
-    tau = acc + 1
-    idx = jnp.arange(B + 1, dtype=jnp.int32)
-    commit = jnp.where(idx[None, :B] <= acc, block, dcfg.mask_token_id)
-    commit = jnp.concatenate([commit, jnp.full((1, 1), dcfg.mask_token_id, jnp.int32)], axis=1)
-    bonus = jnp.take(posterior[0], acc)
-    commit = commit.at[0, tau].set(bonus)
-    output_ids = jax.lax.dynamic_update_slice(s.output_ids, commit, (0, start))
-
-    committed_mask = idx[None, :] <= tau
-    eos_hit = jnp.zeros((), bool)
-    for sid in stop_token_ids:
-        eos_hit = eos_hit | jnp.any((commit == sid) & committed_mask)
-
-    features = jax.lax.dynamic_update_slice(s.features, res.taps, (0, start, 0))
-    acc_trace = jax.lax.dynamic_update_index_in_dim(s.acc_trace, tau, s.cycle_idx, 0)
+    tau = inner.start - start
 
     # -- recycle the rejected suffix (reference :151-157) -------------------
     # recycled = block[tau:B] rolled to the front; count = B - tau (0 if all accepted)
     rolled = jnp.roll(block[0], -tau)  # first B-tau entries are the suffix
     new_count = jnp.where(tau < B, B - tau, 0)
-
-    inner = LoopState(
-        output_ids=output_ids,
-        start=start + tau,
-        done=s.done | eos_hit,
-        cycle_idx=s.cycle_idx + 1,
-        acc_trace=acc_trace,
-        key=key,
-        t_kv=res.kv,
-        d_kv=d_kv,
-        features=features,
-    )
     return SeedState(inner=inner, recycled=rolled[None, :], recycled_count=new_count)
 
 

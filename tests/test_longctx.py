@@ -173,8 +173,19 @@ def test_auto_prefill_chunk_selection():
                      prompt_cap=8192, prompt_bucket=128, prefill_chunk="auto")
     assert eng._resolve_chunk(128) is None
     assert eng._resolve_chunk(4096) is None
-    assert eng._resolve_chunk(4224) == 512
+    # the chunk must DIVIDE the padded length (chunked prefill asserts it):
+    # walk down 512 -> 256 -> 128 to the largest divisor
+    assert eng._resolve_chunk(4608) == 512  # 9 * 512
+    assert eng._resolve_chunk(4352) == 256  # 17 * 256, not a 512 multiple
+    assert eng._resolve_chunk(4224) == 128  # 33 * 128, neither
     prompt = np.random.default_rng(0).integers(0, tcfg.vocab_size - 2, size=(1, 9))
     spec = eng.generate(prompt, temperature=0.0)
     ar = eng.ar_generate(prompt, temperature=0.0)
     np.testing.assert_array_equal(spec.output_ids, ar.output_ids)
+    # a real generation at a >4096 pad that is NOT a 512 multiple (4100 ->
+    # pad 4224): previously crashed with 'prompt pad not divisible by chunk'
+    long_prompt = np.random.default_rng(1).integers(
+        0, tcfg.vocab_size - 2, size=(1, 4100)
+    )
+    long_out = eng.generate(long_prompt, temperature=0.0)
+    assert long_out.num_output_tokens >= 1
