@@ -19,6 +19,7 @@
 // Build: g++ -O2 -shared -fPIC -o libstl.so safetensors_loader.cpp
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fcntl.h>
 #include <string>
@@ -194,7 +195,10 @@ void* stl_open(const char* path) {
 
   uint64_t header_len = 0;
   std::memcpy(&header_len, h->map, 8);  // little-endian hosts only
-  if (8 + header_len > h->map_size) {
+  // subtract, don't add: `8 + header_len` overflows for a corrupt length
+  // near UINT64_MAX and would pass the check, sending the parser out of
+  // bounds instead of failing with nullptr
+  if (header_len > h->map_size - 8) {
     munmap(map, h->map_size);
     ::close(fd);
     delete h;
@@ -208,6 +212,17 @@ void* stl_open(const char* path) {
     return nullptr;
   }
   h->data_offset = 8 + header_len;
+  // validate every tensor's data range against the mapping so a corrupt
+  // header can never hand out an out-of-bounds view
+  const uint64_t data_bytes = h->map_size - h->data_offset;
+  for (const auto& t : h->tensors) {
+    if (t.begin > t.end || t.end > data_bytes) {
+      munmap(map, h->map_size);
+      ::close(fd);
+      delete h;
+      return nullptr;
+    }
+  }
   return h;
 }
 

@@ -453,7 +453,16 @@ def main(argv=None) -> None:
                 response[1] = base
 
             t1 = time.perf_counter()
-            if args.mode == "candidates":
+            aliased_bs1 = block_size == 1 and not args.skip_baseline
+            if aliased_bs1:
+                # reference dedups its bs candidates (dict.fromkeys([1,
+                # block_size]), benchmark.py:456-457): bs=1 means ONE
+                # degenerate AR run serving as both baseline and "spec".
+                # Without this the spec run would overwrite response[1] and
+                # the baseline metrics would be computed from the wrong run.
+                base.cycle_trace = []
+                spec = base
+            elif args.mode == "candidates":
                 from dflash_tpu.spec.candidates import CandidateConfig, candidate_generate
 
                 cc = CandidateConfig(
@@ -514,7 +523,8 @@ def main(argv=None) -> None:
                     forced_acc=forced, draft_steps=args.draft_steps,
                 )
                 spec = SimpleNamespace(**spec_r._asdict(), profile_summary=None, cycle_trace=[])
-            spec.wall_time_s = time.perf_counter() - t1
+            if not aliased_bs1:
+                spec.wall_time_s = time.perf_counter() - t1
             response[block_size] = spec
             responses.append(response)
 

@@ -128,6 +128,22 @@ def main(argv=None) -> None:
     output_records: list[dict] = []
 
     indices = list(range(dist.rank(), len(rows), dist.size()))
+    if args.warmup and indices:
+        # one unmeasured generation per executable (per block size + the AR
+        # baseline), exactly what the inherited --warmup flag promises
+        w_text = tokenizer.apply_chat_template(
+            [{"role": "user", "content": rows[indices[0]]["turns"][0]}],
+            tokenize=False, add_generation_prompt=True,
+        )
+        w_ids = np.asarray(tokenizer.encode(w_text))[None, : args.prompt_cap]
+        if baseline_enabled:
+            base_engine.ar_generate(w_ids, temperature=args.temperature, seed=args.seed)
+        for bs in block_sizes:
+            engines[bs].generate(
+                w_ids, temperature=args.temperature, seed=args.seed,
+                forced_acc=forced[bs], draft_steps=args.draft_steps,
+            )
+        log("warmup generations done (compiles excluded from metrics)")
     for idx in indices:
         instance = rows[idx]
         messages = []

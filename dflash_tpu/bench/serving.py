@@ -149,6 +149,9 @@ def main(argv=None) -> None:
     p.add_argument("--emulate-tau", type=float, default=None,
                    help="benchmark-only acceptance override (mean tau)")
     p.add_argument("--report-path", default=None)
+    p.add_argument("--vocab-size", type=int, default=1000,
+                   help="prompt-id range when benchmarking an external --url "
+                        "server (must not exceed the served model's vocab)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -182,7 +185,10 @@ def main(argv=None) -> None:
         url = f"http://{server.host}:{server.port}"
         vocab = tcfg.vocab_size
     else:
-        vocab = 1000
+        # external server: its vocab is unknowable from here — take it as a
+        # flag so prompt ids stay in range (out-of-range ids clamp to the
+        # last embedding row on-device, degenerating the benchmark's inputs)
+        vocab = args.vocab_size
 
     if args.shared_prefix_len >= args.prompt_len:
         raise SystemExit(

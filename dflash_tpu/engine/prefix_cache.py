@@ -110,12 +110,26 @@ class PrefixCache:
             self._evict_oldest()
         gid = next(self._gid)
         keys = []
+        displaced = set()
         for n in range(self.granularity, n_max + 1, self.granularity):
             key = _key(ids, n)
+            old = self._index.get(key)
+            if old is not None and old[0] != gid:
+                displaced.add(old[0])
             self._index[key] = (gid, n)
             keys.append(key)
         self._groups[gid] = (entry, keys)
         self._bytes += size
+        # a shorter-prefix group whose every boundary key was just repointed
+        # to this longer entry is unreachable — free its bytes now rather
+        # than letting a dead entry occupy capacity until LRU pressure
+        for og in displaced:
+            got = self._groups.get(og)
+            if got is not None and not any(
+                self._index.get(k, (None,))[0] == og for k in got[1]
+            ):
+                self._bytes -= got[0].nbytes
+                del self._groups[og]
 
     def _evict_oldest(self) -> None:
         gid, (entry, keys) = self._groups.popitem(last=False)

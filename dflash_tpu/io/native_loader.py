@@ -112,17 +112,24 @@ class NativeSafetensors:
         )
 
     def get(self, name: str) -> np.ndarray:
+        """Zero-copy view into the mmap.  The view's base buffer holds a
+        reference to this object, so GC alone never unmaps under a live
+        array; an EXPLICIT ``close()`` / ``with``-exit does unmap and
+        invalidates all views — copy (``np.array(...)``) anything that must
+        outlive the handle."""
         dtype_name, shape, offset, nbytes = self.info(name)
         dt = _np_dtype(dtype_name)
         base = self._lib.stl_data(self._handle)
         buf = (ctypes.c_uint8 * nbytes).from_address(
             ctypes.addressof(base.contents) + offset
         )
+        buf._owner = self  # keep the mapping alive while any view exists
         arr = np.frombuffer(buf, dtype=dt).reshape(shape)
         arr.flags.writeable = False
         return arr
 
     def close(self):
+        """Unmap the file.  Views returned by :meth:`get` become invalid."""
         if self._handle:
             self._lib.stl_close(self._handle)
             self._handle = None

@@ -66,29 +66,31 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def all_gather_object(obj: Any, max_bytes: int = 1 << 24) -> List[Any]:
+def all_gather_object(obj: Any) -> List[Any]:
     """Gather an arbitrary picklable object from every process.
 
     Replaces the reference's NCCL ``all_gather_object``
-    (distributed.py:78-83).  Objects are pickled into fixed-size uint8
-    buffers and allgathered across hosts.
+    (distributed.py:78-83).  Two phases: an int64 size exchange, then one
+    allgather of buffers padded to the global max size — no fixed cap (a
+    hard limit would lose an hours-long run's results at the final reporting
+    gather), and small objects move only max-size bytes, not a 16 MB slab.
     """
     if size() <= 1:
         return [obj]
     from jax.experimental import multihost_utils
 
     blob = pickle.dumps(obj)
-    if len(blob) > max_bytes - 8:
-        raise ValueError(f"object too large to gather ({len(blob)} bytes)")
-    buf = np.zeros((max_bytes,), np.uint8)
-    buf[:8] = np.frombuffer(np.uint64(len(blob)).tobytes(), np.uint8)
-    buf[8 : 8 + len(blob)] = np.frombuffer(blob, np.uint8)
-    gathered = multihost_utils.process_allgather(buf)  # [P, max_bytes]
-    out = []
-    for row in np.asarray(gathered):
-        n = int(np.frombuffer(row[:8].tobytes(), np.uint64)[0])
-        out.append(pickle.loads(row[8 : 8 + n].tobytes()))
-    return out
+    sizes = np.asarray(
+        multihost_utils.process_allgather(np.asarray([len(blob)], np.int64))
+    ).reshape(-1)
+    cap = int(sizes.max())
+    buf = np.zeros((max(cap, 1),), np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))  # [P, cap]
+    return [
+        pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+        for p in range(sizes.shape[0])
+    ]
 
 
 def gather_object(obj: Any, dst: int = 0) -> Optional[List[Any]]:

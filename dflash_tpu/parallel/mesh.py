@@ -96,14 +96,6 @@ def draft_param_specs(cfg: DraftConfig) -> dict:
     }
 
 
-def kv_cache_spec(batched: bool = False) -> P:
-    # [L, B, T, n_kv, d] — kv heads on tp; request batch on dp (when the
-    # leading request axis exists in the batched engine: [R, L, 1, T, n_kv, d]).
-    if batched:
-        return P("dp", None, None, None, "tp", None)
-    return P(None, "dp", None, "tp", None)
-
-
 def _to_shardings(specs, mesh: Mesh):
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),

@@ -153,7 +153,11 @@ class EWMAScheduler:
             self.adl_target_k = k_next
             self.adl_target_bs = self._nearest_candidate(k_next)
 
-        # Low-acceptance fallback to the lower neighbor.
+        # Low-acceptance fallback to the lower neighbor.  Note: any cycle not
+        # run at `current` (a probe) resets the streak — so interleaved
+        # probes can defer the fallback.  Reference-faithful: the reference
+        # scheduler has the identical else-reset
+        # (benchmark_dynamic_schedule.py:201-205).
         acceptance_ratio = tau / max(1.0, float(effective_bs))
         if acceptance_ratio < cfg.low_accept_threshold and effective_bs == self.current:
             self.low_accept_count += 1

@@ -356,6 +356,35 @@ def test_prefix_cache_lru_eviction_and_flush(models):
     assert big.lookup(ids_a, 38) is None
 
 
+def test_prefix_cache_superseded_entry_frees_bytes(models):
+    """Inserting a longer prefix that repoints ALL of a shorter entry's
+    boundary keys must free the now-unreachable entry's bytes immediately
+    (previously dead entries occupied capacity until LRU pressure)."""
+    from dflash_tpu.engine.prefix_cache import PrefixCache, PrefixEntry
+    import jax.numpy as jnp
+
+    from dflash_tpu.cache.kv import KVCache
+
+    def entry(seed, n):
+        k = jnp.full((2, 1, n, 2, 4), float(seed), jnp.float32)
+        return PrefixEntry(kv_rows=KVCache(k=k, v=k), taps=jnp.zeros((1, n, 8), jnp.float32))
+
+    ids = np.arange(1, 60)
+    short, long = entry(1, 16), entry(2, 32)
+    pc = PrefixCache(capacity_bytes=short.nbytes + long.nbytes, granularity=16)
+    pc.insert(ids, short)
+    bytes_after_short = pc._bytes
+    pc.insert(ids, long)  # repoints the 16-boundary key; short is unreachable
+    assert pc._bytes == pc._bytes - 0  # sanity
+    assert pc._bytes <= long.nbytes, (
+        f"dead short entry still counted: {pc._bytes} > {long.nbytes} "
+        f"(short was {bytes_after_short})"
+    )
+    assert len(pc._groups) == 1
+    hit = pc.lookup(ids, 58)
+    assert hit is not None and hit[1].prefix_len == 32
+
+
 def test_prefix_cache_sub_boundary_hits(models):
     """Radix-lite: a 32-token cached prefix must also serve prompts agreeing
     only on its first 16 tokens, sharing ONE device entry (bytes counted
