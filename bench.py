@@ -75,6 +75,22 @@ def main():
         tcfg = QWEN3_8B
         dcfg = dflash_draft_config(QWEN3_8B, num_draft_layers=1, block_size=16)
         max_new, prompt_cap = 512, 128
+    elif preset.startswith("qwen3-30b-a3b"):
+        # MoE target (reference README.md:60-68).  Even int8, 48 layers of
+        # experts are ~29GB (>16GB HBM), so single-chip presets are
+        # layer-scaled ("qwen3-30b-a3b-l12"): identical per-layer geometry,
+        # per-cycle cost linear in L (docs/RESULTS.md MoE section).
+        import dataclasses
+        import re
+
+        from dflash_tpu.core.config import QWEN3_CODER_30B_A3B
+
+        m = re.fullmatch(r"qwen3-30b-a3b-l(\d+)", preset)
+        tcfg = QWEN3_CODER_30B_A3B if m is None else dataclasses.replace(
+            QWEN3_CODER_30B_A3B, num_hidden_layers=int(m.group(1))
+        )
+        dcfg = dflash_draft_config(tcfg, num_draft_layers=1, block_size=16)
+        max_new, prompt_cap = 256, 128
     else:
         tcfg = QWEN3_4B
         dcfg = dflash_draft_config(QWEN3_4B, num_draft_layers=1, block_size=16)
@@ -85,7 +101,7 @@ def main():
         f"draft L={dcfg.model.num_hidden_layers} B={block_size} devices={jax.devices()}")
 
     quant = os.environ.get("BENCH_QUANT", "int8" if preset != "smoke" else "")
-    if preset in ("qwen3-8b", "llama31-8b"):
+    if preset in ("qwen3-8b", "llama31-8b") or preset.startswith("qwen3-30b-a3b"):
         # Generate directly in int8 — the bf16 intermediate would OOM.
         from dflash_tpu.quant import quantize_draft_params
         from dflash_tpu.quant.quantize import init_params_quantized

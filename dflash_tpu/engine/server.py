@@ -55,6 +55,16 @@ class EngineHTTPServer:
             def do_GET(self):
                 if self.path in ("/health", "/health_generate"):
                     self._send(200, {"status": "ok"})
+                elif self.path == "/v1/models":  # OpenAI model discovery
+                    self._send(200, {"object": "list", "data": [{
+                        "id": outer.model_name, "object": "model",
+                        "owned_by": "dflash_tpu",
+                    }]})
+                elif self.path == "/get_model_info":  # SGLang discovery
+                    self._send(200, {
+                        "model_path": outer.model_name,
+                        "is_generation": True,
+                    })
                 else:
                     self._send(404, {"error": "not found"})
 

@@ -122,6 +122,19 @@ def test_chat_stop_string(server):
     assert word not in got["choices"][0]["message"]["content"]
 
 
+def test_model_discovery_endpoints(server):
+    with urllib.request.urlopen(
+        f"http://{server.host}:{server.port}/v1/models", timeout=30
+    ) as r:
+        got = json.loads(r.read())
+    assert got["data"][0]["id"] == "tiny-dflash"
+    with urllib.request.urlopen(
+        f"http://{server.host}:{server.port}/get_model_info", timeout=30
+    ) as r:
+        info = json.loads(r.read())
+    assert info["is_generation"] is True
+
+
 def test_rejects_multi_choice(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, "/v1/chat/completions", {
