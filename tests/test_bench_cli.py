@@ -31,6 +31,25 @@ def test_cli_vanilla_metric_lines(capsys, tmp_path):
     assert rows and rows[0]["speculative"]["num_output_tokens"] > 0
 
 
+def test_cli_block_size_one_dedups_to_baseline(capsys):
+    """--block-size 1 must mirror the reference's candidate dedup
+    (benchmark.py:456-457, dict.fromkeys([1, block_size])): ONE degenerate AR
+    run serves as both baseline and spec, so the printed speedup is exactly
+    1.00 (previously the spec run overwrote the baseline entry)."""
+    from dflash_tpu.bench.cli import main
+
+    main([
+        "--model-name-or-path", "tiny", "--synthetic-data",
+        "--max-samples", "1", "--max-new-tokens", "16", "--prompt-cap", "128",
+        "--block-size", "1",
+    ])
+    out = capsys.readouterr().out
+    base = next(l for l in out.splitlines() if l.startswith("Baseline TPOT:"))
+    spec = next(l for l in out.splitlines() if l.startswith("Speculative TPOT:"))
+    assert base.split(":")[1].strip() == spec.split(":")[1].strip()
+    assert "Decoding speedup: 1.00" in out
+
+
 def test_multi_block_shared_baseline(capsys, tmp_path):
     """Reference benchmark_multi_block.py:305-337 semantics: one shared bs=1
     baseline, per-block [bs=N] metric lines, summary CSV."""
