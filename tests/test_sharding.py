@@ -72,6 +72,55 @@ def test_tp_sharded_decode_matches_replicated():
     np.testing.assert_array_equal(sharded.start, plain.start)
 
 
+def test_tp_sharded_decode_with_filters_matches_replicated():
+    """Per-lane top-k/top-p filters under dp x tp GSPMD partitioning: the
+    sharded filtered decode must be token-identical to the replicated one
+    (approx_max_k + the filter masks must partition cleanly)."""
+    from dflash_tpu.spec.engine import SamplingFilters
+
+    tp = 4
+    mesh = make_mesh(dp=2, tp=tp)
+    tcfg, dcfg, t_params, d_params = _setup(tp)
+    rng = np.random.default_rng(0)
+    R, P_pad, total_len, max_cycles = 2, 16, 48, 8
+    input_ids = jnp.asarray(
+        rng.integers(1, tcfg.vocab_size - 2, size=(R, 1, P_pad)), jnp.int32
+    )
+    prompt_lens = jnp.asarray([5, 7], jnp.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(R, dtype=jnp.uint32))
+    temp = jnp.full((R,), 1.1, jnp.float32)
+    filters = SamplingFilters(
+        top_k=jnp.asarray([3, 0], jnp.int32),
+        top_p=jnp.asarray([1.0, 0.8], jnp.float32),
+    )
+
+    def run(shard):
+        tp_, dp_ = t_params, d_params
+        if shard:
+            tp_ = shard_params(t_params, target_param_shardings(tcfg, mesh))
+            dp_ = shard_params(d_params, draft_param_shardings(dcfg, mesh))
+        st = jit_batched_prefill(
+            tp_, dp_, input_ids, prompt_lens, jnp.float32(1.1), keys,
+            tcfg=tcfg, dcfg=dcfg, total_len=total_len, max_cycles=max_cycles,
+        )
+        if shard:
+            from dflash_tpu.spec.batched import shard_state
+
+            st = shard_state(st, mesh)
+        st = jit_batched_decode(
+            tp_, dp_, st, prompt_lens + 12, temp,
+            tcfg=tcfg, dcfg=dcfg, block_size=dcfg.block_size,
+            stop_token_ids=(), max_cycles=max_cycles, filters=filters,
+        )
+        return np.asarray(st.output_ids), np.asarray(st.start)
+
+    out_s, start_s = run(True)
+    out_r, start_r = run(False)
+    np.testing.assert_array_equal(out_s, out_r)
+    np.testing.assert_array_equal(start_s, start_r)
+    assert (start_s > np.asarray(prompt_lens)).all()
+
+
 def test_batched_requests_decode_independently():
     """Lanes of a dp batch must not leak into each other: two lanes given the
     same prompt decode identically; a lane with a different prompt differs.

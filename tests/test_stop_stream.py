@@ -140,6 +140,34 @@ def test_streaming_in_sync_mode(models):
     )
 
 
+def test_bucketed_engine_stop_and_stream(models):
+    """Stop strings + streaming route through BucketedEngine pools (the
+    tokenizer must reach every rung)."""
+    from dflash_tpu.engine.batching import BucketedEngine, BucketSpec, EngineConfig
+
+    tcfg, dcfg, t_params, d_params = models
+    tok = SyntheticTokenizer(tcfg.vocab_size)
+    cfg = EngineConfig(num_lanes=2, max_new_tokens=16, block_size=4,
+                       prompt_cap=32, prompt_bucket=16)
+    eng = BucketedEngine(
+        tcfg, dcfg, t_params, d_params, cfg,
+        [BucketSpec(16, 8, 2), BucketSpec(32, 16, 2)],
+        tokenizer=tok,
+    )
+    req = eng.submit(PROMPT, max_new_tokens=8, stream=True,
+                     stop=["ABSENT-STOP"])
+    eng.run_until_drained()
+    assert req.error is None
+    chunks, finished = [], False
+    while not finished:
+        item = req.stream_queue.get(timeout=5)
+        chunks.extend(item["token_ids"])
+        finished = item["finished"]
+    np.testing.assert_array_equal(
+        np.asarray(chunks), req.output_ids[0, req.meta_info["prompt_tokens"]:]
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTTP surface
 # ---------------------------------------------------------------------------
