@@ -38,6 +38,26 @@ def init_kv_cache(
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
+def _masked_window_write(layer: jax.Array, new: jax.Array, write_pos: jax.Array):
+    """Frontier write as a full-buffer select instead of dynamic_update_slice.
+
+    Under vmap (per-lane write_pos) the DUS becomes a batched scatter; this
+    formulation stays a gather + elementwise select that XLA fuses into one
+    linear pass over the buffer.  MEASURED AND REJECTED on v5e (16-lane
+    batched decode 4616 -> 4456 tok/s, single-stream 1.078 -> 1.107 ms):
+    XLA's batched in-place scatter beats the full-buffer select, whose
+    linear pass rewrites every row each cycle.  Kept behind
+    DFLASH_KV_WRITE=mask so nobody re-derives it."""
+    T, S = layer.shape[1], new.shape[1]
+    t = jnp.arange(T, dtype=jnp.int32)
+    pos = write_pos.astype(jnp.int32)
+    rel = jnp.clip(t - pos, 0, S - 1)
+    in_win = (t >= pos) & (t < pos + S)
+    rows = jnp.take(new.astype(layer.dtype), rel, axis=1)  # [B, T, ...]
+    shape = (1, T) + (1,) * (layer.ndim - 2)
+    return jnp.where(in_win.reshape(shape), rows, layer)
+
+
 def update_layer(
     k_layer: jax.Array,  # [B, T, n_kv, d]
     v_layer: jax.Array,
@@ -45,6 +65,13 @@ def update_layer(
     v_new: jax.Array,
     write_pos: jax.Array,  # scalar int32: absolute position of k_new[:, 0]
 ) -> tuple[jax.Array, jax.Array]:
+    import os
+
+    if os.environ.get("DFLASH_KV_WRITE") == "mask":
+        return (
+            _masked_window_write(k_layer, k_new, write_pos),
+            _masked_window_write(v_layer, v_new, write_pos),
+        )
     zero = jnp.zeros((), jnp.int32)
     idx = (zero, write_pos.astype(jnp.int32), zero, zero)
     return (
