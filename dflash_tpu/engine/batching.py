@@ -108,6 +108,10 @@ class Request:
     temperature: float
     top_k: int = 0  # <= 0 disables
     top_p: float = 1.0  # >= 1 disables
+    # Per-request sampling seed: None derives a lane key from the engine seed
+    # + rid (unique per request); an explicit seed gives reproducible samples
+    # for identical requests regardless of admission order.
+    seed: Optional[int] = None
     # Stop strings (SGLang sampling_params "stop", reference
     # benchmark_sglang.py:48-49): generation halts when any appears in the
     # decoded text; the match is excluded from the output.  Checked host-side
@@ -239,6 +243,8 @@ class ContinuousBatchingEngine:
         self._lane_epoch = np.zeros((R,), np.int64)
         self._last_start_host: Optional[np.ndarray] = None
         self._rid = itertools.count()
+        self._aborted: set = set()  # rids to force-finish at next harvest
+        self._abort_lock = threading.Lock()
         self._lock = threading.Lock()
         self._running = False
         self._thread: Optional[threading.Thread] = None
@@ -325,7 +331,7 @@ class ContinuousBatchingEngine:
     def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None, top_k: int = 0,
                top_p: float = 1.0, stop: Optional[Sequence[str]] = None,
-               stream: bool = False) -> Request:
+               stream: bool = False, seed: Optional[int] = None) -> Request:
         input_ids = np.asarray(input_ids).reshape(-1)
         if input_ids.shape[0] > self.cfg.prompt_cap:
             raise ValueError(
@@ -356,9 +362,45 @@ class ContinuousBatchingEngine:
             top_p=float(top_p),
             stop_strings=stop_strings,
             stream_queue=queue.Queue() if stream else None,
+            seed=seed,
         )
         self._queue.put(req)
         return req
+
+    def abort(self, rid: int) -> bool:
+        """Cancel a request: a queued one never runs; an active one is
+        force-finished at the next harvest with its committed tokens and
+        ``finish_reason {"type": "abort"}`` (the SGLang abort semantics for
+        client disconnects).  Returns False for unknown/completed rids."""
+        with self._abort_lock:
+            # queued: rebuild the queue without it
+            drained: List[Request] = []
+            hit = False
+            while True:
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if r.rid == rid:
+                    hit = True
+                    r.error = "aborted before admission"
+                    r.meta_info = {"error": r.error,
+                                   "finish_reason": {"type": "abort"}}
+                    self.completed[rid] = r
+                    if r.stream_queue is not None:
+                        r.stream_queue.put({"token_ids": [], "finished": True,
+                                            "meta_info": r.meta_info})
+                    r.done_event.set()
+                else:
+                    drained.append(r)
+            for r in drained:
+                self._queue.put(r)
+            if hit:
+                return True
+            if any(r is not None and r.rid == rid for r in self._lane_req):
+                self._aborted.add(rid)
+                return True
+            return False
 
     def step(self) -> int:
         """Admit waiting requests into free lanes, dispatch one multi-cycle
@@ -439,13 +481,22 @@ class ContinuousBatchingEngine:
                 continue
             finished = bool(done[lane] or start[lane] >= self._lane_max_length[lane])
             needs_scan = bool(req.stop_strings or req.stream_queue is not None)
-            if not (finished or needs_scan):
+            aborted = req.rid in self._aborted
+            if not (finished or needs_scan or aborted):
                 continue
             if out_h is None:
                 out_h = np.asarray(output_ids_d)
                 acc_h = np.asarray(acc_trace_d)
                 cyc_h = np.asarray(cycle_idx_d)
             n_cycles = int(cyc_h[lane])
+            if aborted:
+                self._aborted.discard(req.rid)
+                gen = self._committed_gen(lane, req, int(start[lane]), out_h[lane])
+                self._push_stream(req, gen)
+                seq = np.concatenate([req.input_ids, gen]).astype(np.int32)
+                self._complete(lane, req, seq, n_cycles,
+                               acc_h[lane][:n_cycles], {"type": "abort"})
+                continue
             if needs_scan and self._service_lane(
                 lane, req, int(start[lane]), out_h[lane],
                 n_cycles, acc_h[lane][:n_cycles]
@@ -562,15 +613,14 @@ class ContinuousBatchingEngine:
             bucket = self._prompt_bucket(max(len(r.input_ids) for r in reqs))
             padded = np.zeros((R, 1, bucket), np.int32)
             plens = np.ones((R,), np.int32)
-            rids = np.zeros((R,), np.int64)
             for j, req in enumerate(reqs):
                 padded[j, 0, : len(req.input_ids)] = req.input_ids
                 plens[j] = len(req.input_ids)
-                rids[j] = req.rid
             base_key = jax.random.PRNGKey(self.cfg.seed)
-            keys = jax.vmap(lambda r: jax.random.fold_in(base_key, r))(
-                jnp.asarray(rids, jnp.uint32)
-            )
+            row_keys = [self._req_key(r) for r in reqs] + [
+                jax.random.fold_in(base_key, jnp.uint32(0))
+            ] * (R - k)
+            keys = jnp.stack(row_keys)
             group = jit_batched_prefill(
                 self.t_params, self.d_params, jnp.asarray(padded), jnp.asarray(plens),
                 jnp.float32(reqs[0].temperature), keys,
@@ -586,6 +636,13 @@ class ContinuousBatchingEngine:
         )
         for lane, req in zip(lanes, reqs):
             self._bind_lane(lane, req)
+
+    def _req_key(self, req: Request) -> jax.Array:
+        """Per-request PRNG key: explicit ``seed`` -> reproducible regardless
+        of admission order; otherwise engine seed folded with the rid."""
+        if req.seed is not None:
+            return jax.random.PRNGKey(req.seed)
+        return jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid)
 
     def _req_filters(self, req: Request) -> Optional[SamplingFilters]:
         """Scalar-leaf filters for a request's prefill; None when the engine
@@ -616,7 +673,7 @@ class ContinuousBatchingEngine:
             max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
             filters=self._req_filters(req),
         )
-        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), req.rid)
+        key = self._req_key(req)
         hit = (
             self._prefix_cache.lookup(req.input_ids, P - 1)
             if self._prefix_cache is not None else None
@@ -655,15 +712,12 @@ class ContinuousBatchingEngine:
             self._lane_epoch.copy(),
         ))
 
-    def _service_lane(self, lane: int, req: Request, start_l: int,
-                      out_row: np.ndarray, n_cycles: int,
-                      acc: np.ndarray) -> bool:
-        """Per-window service for a streaming / stop-string lane: push newly
-        committed tokens, scan for stop-string hits.  Returns True when the
-        lane was force-finished on a stop match."""
+    def _committed_gen(self, lane: int, req: Request, start_l: int,
+                       out_row: np.ndarray) -> np.ndarray:
+        """Committed generated tokens so far: region [P, start] inclusive —
+        position start holds the bonus token, committed and stable across
+        cycles — mask-stripped, truncated at the first engine stop token."""
         P = int(self._lane_prompt_len[lane])
-        # committed region is [P, start] inclusive — position start holds the
-        # bonus token, which is committed and stable across cycles
         end = min(start_l + 1, P + req.max_new_tokens)
         gen = out_row[0, P:end]
         gen = gen[gen != self.dcfg.mask_token_id]
@@ -671,6 +725,15 @@ class ContinuousBatchingEngine:
             hits = np.nonzero(np.isin(gen, list(self.cfg.stop_token_ids)))[0]
             if hits.size > 0:
                 gen = gen[: hits[0] + 1]
+        return gen
+
+    def _service_lane(self, lane: int, req: Request, start_l: int,
+                      out_row: np.ndarray, n_cycles: int,
+                      acc: np.ndarray) -> bool:
+        """Per-window service for a streaming / stop-string lane: push newly
+        committed tokens, scan for stop-string hits.  Returns True when the
+        lane was force-finished on a stop match."""
+        gen = self._committed_gen(lane, req, start_l, out_row)
         if req.stop_strings:
             cut, matched = self._find_stop_cut(req, gen)
             if cut is not None:
@@ -872,7 +935,7 @@ class BucketedEngine:
     def submit(self, input_ids: np.ndarray, max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None, top_k: int = 0,
                top_p: float = 1.0, stop: Optional[Sequence[str]] = None,
-               stream: bool = False) -> Request:
+               stream: bool = False, seed: Optional[int] = None) -> Request:
         ids = np.asarray(input_ids).reshape(-1)
         biggest = self.pools[-1]
         max_new = min(
@@ -881,7 +944,12 @@ class BucketedEngine:
         )
         pool = self._route(ids.shape[0], max_new)
         return pool.submit(ids, max_new_tokens=max_new, temperature=temperature,
-                           top_k=top_k, top_p=top_p, stop=stop, stream=stream)
+                           top_k=top_k, top_p=top_p, stop=stop, stream=stream,
+                           seed=seed)
+
+    def abort(self, rid: int) -> bool:
+        # rids are unique across pools (shared counter), so at most one hits
+        return any(p.abort(rid) for p in self.pools)
 
     def step(self) -> int:
         return sum(p.step() for p in self.pools)

@@ -83,6 +83,14 @@ class EngineHTTPServer:
                     except RuntimeError as e:
                         self._send(409, {"error": str(e)})
                     return
+                if self.path == "/abort_request":
+                    # client-disconnect path: streaming chunks carry "rid"
+                    rid = payload.get("rid")
+                    if rid is None:
+                        self._send(400, {"error": "need rid"})
+                    else:
+                        self._send(200, {"aborted": outer.engine.abort(int(rid))})
+                    return
                 if self.path in ("/v1/chat/completions", "/v1/completions"):
                     try:
                         outer._openai(payload, self,
@@ -116,6 +124,7 @@ class EngineHTTPServer:
             ids = np.asarray(self.tokenizer.encode(payload["text"]), np.int32)
         else:
             raise ValueError("need input_ids (or text with a tokenizer)")
+        seed = sp.get("seed")
         return self.engine.submit(
             ids,
             max_new_tokens=sp.get("max_new_tokens"),
@@ -124,6 +133,7 @@ class EngineHTTPServer:
             top_p=float(sp.get("top_p", 1.0)),
             stop=sp.get("stop"),
             stream=stream,
+            seed=None if seed is None else int(seed),
         )
 
     def _decode_text(self, ids, meta_info: dict, stop_strings=()) -> str:
@@ -143,6 +153,7 @@ class EngineHTTPServer:
     def _generate(self, payload: dict) -> dict:
         req = self._submit(payload)
         if not req.done_event.wait(timeout=600):
+            self.engine.abort(req.rid)  # free the lane, don't just walk away
             raise ValueError("generation timed out")
         if req.error is not None:
             # per-request failure: surfaced in the response, engine keeps
@@ -175,7 +186,8 @@ class EngineHTTPServer:
             item = req.stream_queue.get(timeout=600)
             acc.extend(item["token_ids"])
             meta = item.get("meta_info") or {"completion_tokens": len(acc)}
-            chunk = {"output_ids": list(acc), "meta_info": meta}
+            # rid lets a streaming client POST /abort_request on disconnect
+            chunk = {"rid": req.rid, "output_ids": list(acc), "meta_info": meta}
             if req.error is not None:
                 chunk["error"] = req.error
             elif self.tokenizer is not None:

@@ -140,6 +140,61 @@ def test_streaming_in_sync_mode(models):
     )
 
 
+def test_abort_queued_request(models):
+    eng = _engine(models, num_lanes=1)
+    r1 = eng.submit(PROMPT, max_new_tokens=16)
+    r2 = eng.submit(PROMPT + 1, max_new_tokens=16)  # waits behind r1
+    assert eng.abort(r2.rid) is True
+    assert r2.done_event.is_set()
+    assert r2.meta_info["finish_reason"]["type"] == "abort"
+    eng.run_until_drained()
+    assert r1.error is None and r1.meta_info["completion_tokens"] >= 1
+    assert eng.abort(r1.rid) is False  # already completed
+
+
+def test_abort_active_request_mid_decode(models):
+    eng = _engine(models, max_new_tokens=64)
+    req = eng.submit(PROMPT, max_new_tokens=64)
+    # run a couple of windows, then abort mid-flight
+    for _ in range(3):
+        eng.step()
+    assert eng.abort(req.rid) is True
+    eng.run_until_drained()
+    assert req.done_event.is_set()
+    assert req.meta_info["finish_reason"]["type"] == "abort"
+    # partial output: strictly fewer tokens than the request asked for
+    assert 0 < req.meta_info["completion_tokens"] < 64
+    # committed prefix matches an uninterrupted run's prefix
+    full_eng = _engine(models, max_new_tokens=64)
+    full = full_eng.submit(PROMPT, max_new_tokens=64)
+    full_eng.run_until_drained()
+    n = req.meta_info["completion_tokens"]
+    np.testing.assert_array_equal(
+        req.output_ids[0, 4:4 + n], full.output_ids[0, 4:4 + n]
+    )
+
+
+def test_per_request_seed_reproducible(models):
+    """Same explicit seed => identical sampled output regardless of rid /
+    admission order; different seeds diverge (tiny vocab => retry a few
+    prompts until divergence shows)."""
+    eng = _engine(models, sampling_filters=True)
+    a = eng.submit(PROMPT, temperature=1.3, seed=7)
+    b = eng.submit(PROMPT, temperature=1.3, seed=7)
+    eng.run_until_drained()
+    np.testing.assert_array_equal(a.output_ids, b.output_ids)
+
+    diverged = False
+    for s in range(5):
+        c = eng.submit(PROMPT, temperature=1.3, seed=7)
+        d = eng.submit(PROMPT, temperature=1.3, seed=1000 + s)
+        eng.run_until_drained()
+        if not np.array_equal(c.output_ids, d.output_ids):
+            diverged = True
+            break
+    assert diverged, "different seeds never diverged"
+
+
 def test_bucketed_engine_stop_and_stream(models):
     """Stop strings + streaming route through BucketedEngine pools (the
     tokenizer must reach every rung)."""
