@@ -122,6 +122,22 @@ def test_chat_stop_string(server):
     assert word not in got["choices"][0]["message"]["content"]
 
 
+def test_text_completion_streaming(server):
+    raw = _post(server, "/v1/completions", {
+        "prompt": "stream plain completion", "max_tokens": 10,
+        "temperature": 0, "stream": True,
+    }).decode()
+    events = [l[6:] for l in raw.split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    text = "".join(c["choices"][0]["text"] for c in chunks)
+    solo = json.loads(_post(server, "/v1/completions", {
+        "prompt": "stream plain completion", "max_tokens": 10, "temperature": 0,
+    }))
+    assert text == solo["choices"][0]["text"]
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
 def test_model_discovery_endpoints(server):
     with urllib.request.urlopen(
         f"http://{server.host}:{server.port}/v1/models", timeout=30

@@ -176,6 +176,18 @@ def test_filtered_engine_greedy_matches_unfiltered_engine(models):
     np.testing.assert_array_equal(ra.output_ids, rb.output_ids)
 
 
+def test_filters_with_int8_kv_cache(models):
+    """Per-lane filters compose with the int8 KV cache: the tight-nucleus
+    hot lane still reproduces the greedy lane under kv_quant."""
+    eng = _engine(models, sampling_filters=True, kv_quant=True)
+    prompt = np.asarray([9, 4, 11, 3])
+    g = eng.submit(prompt, temperature=0.0)
+    f = eng.submit(prompt, temperature=1.5, top_k=2, top_p=1e-6)
+    eng.run_until_drained()
+    assert g.error is None and f.error is None
+    np.testing.assert_array_equal(g.output_ids, f.output_ids)
+
+
 def test_spec_engine_generate_filters(models):
     """Single-request SpecEngine path honors top_k/top_p."""
     from dflash_tpu.spec.engine import SpecEngine
