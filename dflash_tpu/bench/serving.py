@@ -58,21 +58,45 @@ def _flush(url: str) -> None:
         pass
 
 
+def _consume_sse(url: str, payload: dict) -> dict:
+    """POST a streaming /generate and consume the SSE events; returns the
+    final chunk's body (same shape as the non-stream response)."""
+    import json as _json
+
+    req = urllib.request.Request(
+        url + "/generate", _json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    last = None
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                last = _json.loads(line[6:])
+    assert last is not None, "no SSE chunks received"
+    return last
+
+
 def run_bench_requests(
     url: str,
     prompts: List[List[int]],
     concurrency: int,
     max_new_tokens: int,
     temperature: float = 0.0,
+    stream: bool = False,
 ) -> BenchMetrics:
     def one(ids):
-        return _post(url, {
+        payload = {
             "input_ids": ids,
             "sampling_params": {
                 "max_new_tokens": max_new_tokens,
                 "temperature": temperature,
             },
-        })
+        }
+        if stream:
+            payload["stream"] = True
+            return _consume_sse(url, payload)
+        return _post(url, payload)
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=concurrency) as pool:
@@ -149,6 +173,9 @@ def main(argv=None) -> None:
     p.add_argument("--emulate-tau", type=float, default=None,
                    help="benchmark-only acceptance override (mean tau)")
     p.add_argument("--report-path", default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="drive /generate with \"stream\": true and consume the\n"
+                        "SSE events (measures the streaming tax)")
     p.add_argument("--vocab-size", type=int, default=1000,
                    help="prompt-id range when benchmarking an external --url "
                         "server (must not exceed the served model's vocab)")
@@ -210,10 +237,12 @@ def main(argv=None) -> None:
     rows = []
     try:
         # warmup (compiles the lane executables)
-        run_bench_requests(url, prompts[:2], 2, args.max_new_tokens)
+        run_bench_requests(url, prompts[:2], 2, args.max_new_tokens,
+                           stream=args.stream)
         for conc in (int(c) for c in args.concurrencies.split(",")):
             _flush(url)
-            m = run_bench_requests(url, prompts, conc, args.max_new_tokens)
+            m = run_bench_requests(url, prompts, conc, args.max_new_tokens,
+                                   stream=args.stream)
             if m.spec_verify_ct_sum <= 0:
                 raise RuntimeError("speculative decoding did not run (verify_ct == 0)")
             print(f"[serving] conc={conc}: {m.tokens_per_sec:.1f} tok/s, "
