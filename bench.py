@@ -30,6 +30,14 @@ import numpy as np  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# honor JAX_PLATFORMS even when a sitecustomize-registered PJRT plugin
+# already claimed the backend (the smoke preset is documented CPU-safe)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
 
 def log(msg):
     print(f"[bench] +{time.perf_counter() - T0:.1f}s {msg}", file=sys.stderr, flush=True)
