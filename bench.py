@@ -139,25 +139,51 @@ def main():
         max_new_tokens=max_new, block_size=block_size,
         prompt_cap=prompt_cap, prompt_bucket=prompt_cap, stop_token_ids=(),
     )
-    prompt = np.random.default_rng(0).integers(1, tcfg.vocab_size - 2, size=(1, 117))
+    # Distinct prompt per steady-state rep (same shape, one executable): the
+    # tunneled runtime dedupes a repeated dispatch with identical inputs, and
+    # distinct data also keeps each rep an honest independent sample.
+    prompts = [
+        np.random.default_rng(s).integers(1, tcfg.vocab_size - 2, size=(1, 117))
+        for s in range(8)
+    ]
+    prompt = prompts[0]
     n_cycles = int(np.ceil(max_new / (REF_TAU - 1)))
     forced = make_forced_acc(max_new, block_size, REF_TAU)
+
+    # Steady-state numbers are the MEDIAN of several single-run reps: one
+    # tunnel-jitter window (observed ±10% on sub-second runs, BENCH_r01 vs
+    # r02: spec tpot 1.063 vs 1.172 ms on identical code) must not move the
+    # number of record.  Reps are cheap next to the compile warm-up.
+    reps = int(os.environ.get("BENCH_REPS", "3" if preset != "smoke" else "1"))
 
     # --- AR baseline (reference block_size=1 path) -------------------------
     ar_warm = engine.ar_generate(prompt, temperature=0.0)
     log(f"AR warm done (compile+run, tpot={ar_warm.time_per_output_token*1e3:.2f} ms)")
-    ar = engine.ar_generate(prompt, temperature=0.0)
-    log(f"AR steady: {ar.num_output_tokens} tok, tpot={ar.time_per_output_token*1e3:.3f} ms, "
-        f"{1.0/ar.time_per_output_token:.1f} tok/s")
+    ar_runs = [engine.ar_generate(prompts[1 + i], temperature=0.0) for i in range(reps)]
+    ar_tpots = sorted(r.time_per_output_token for r in ar_runs)
+    ar_tpot = ar_tpots[len(ar_tpots) // 2]
+    ar = ar_runs[0]
+    log(f"AR steady: {ar.num_output_tokens} tok/rep x {reps}, "
+        f"tpot median={ar_tpot*1e3:.3f} ms "
+        f"(min {ar_tpots[0]*1e3:.3f} / max {ar_tpots[-1]*1e3:.3f}), "
+        f"{1.0/ar_tpot:.1f} tok/s")
 
     # --- speculative with emulated reference-tau acceptance ----------------
     spec_warm = engine.generate(prompt, temperature=0.0, forced_acc=forced)
     log(f"spec warm done (compile+run, tpot={spec_warm.time_per_output_token*1e3:.2f} ms)")
-    spec = engine.generate(prompt, temperature=0.0, forced_acc=forced)
+    spec_runs = [
+        engine.generate(prompts[1 + i], temperature=0.0, forced_acc=forced)
+        for i in range(reps)
+    ]
+    spec_tpots = sorted(r.time_per_output_token for r in spec_runs)
+    spec_tpot = spec_tpots[len(spec_tpots) // 2]
+    spec = spec_runs[0]
     tau = float(np.mean(spec.acceptance_lengths)) if spec.acceptance_lengths else 0.0
-    log(f"spec steady: {spec.num_output_tokens} tok in {len(spec.acceptance_lengths)} cycles, "
-        f"tau={tau:.2f}, tpot={spec.time_per_output_token*1e3:.3f} ms, "
-        f"{1.0/spec.time_per_output_token:.1f} tok/s")
+    log(f"spec steady: {spec.num_output_tokens} tok/rep x {reps} in "
+        f"{len(spec.acceptance_lengths)} cycles, tau={tau:.2f}, "
+        f"tpot median={spec_tpot*1e3:.3f} ms "
+        f"(min {spec_tpots[0]*1e3:.3f} / max {spec_tpots[-1]*1e3:.3f}), "
+        f"{1.0/spec_tpot:.1f} tok/s")
 
     # --- batched serving throughput (optional, BENCH_LANES=R) --------------
     batched_detail = {}
@@ -189,30 +215,37 @@ def main():
         warm = dec(st)
         np.asarray(warm.start)  # force execution
         log(f"batched warm done (lanes={lanes})")
-        t2 = time.perf_counter()
-        out = dec(st)
-        total_tokens = int(np.asarray(out.start - prompt_lens).sum())
-        batched_wall = time.perf_counter() - t2
-        batched_tps = total_tokens / batched_wall
-        log(f"batched steady: {lanes} lanes, {total_tokens} tok in {batched_wall:.2f}s "
-            f"-> {batched_tps:.1f} tok/s/chip")
+        batched_tpss = []
+        for _ in range(reps):
+            t2 = time.perf_counter()
+            out = dec(st)
+            total_tokens = int(np.asarray(out.start - prompt_lens).sum())
+            batched_tpss.append(total_tokens / (time.perf_counter() - t2))
+        batched_tpss.sort()
+        batched_tps = batched_tpss[len(batched_tpss) // 2]
+        log(f"batched steady: {lanes} lanes, {total_tokens} tok/rep x {reps} "
+            f"-> median {batched_tps:.1f} tok/s/chip "
+            f"(min {batched_tpss[0]:.1f} / max {batched_tpss[-1]:.1f})")
         batched_detail = {
             "batched_lanes": lanes,
             "batched_tokens_per_sec_per_chip": round(batched_tps, 2),
-            "batched_speedup_vs_single": round(batched_tps * spec.time_per_output_token, 3),
+            "batched_speedup_vs_single": round(batched_tps * spec_tpot, 3),
         }
 
-    speedup = ar.time_per_output_token / spec.time_per_output_token
+    speedup = ar_tpot / spec_tpot
     result = {
         "metric": f"decoding_speedup_vs_ar ({preset}-shape, B={block_size}, tau={tau:.2f} emulated)",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup / REF_SPEEDUP, 3),
         "detail": {
-            "ar_tpot_ms": round(ar.time_per_output_token * 1e3, 4),
-            "spec_tpot_ms": round(spec.time_per_output_token * 1e3, 4),
-            "ar_tokens_per_sec": round(1.0 / ar.time_per_output_token, 2),
-            "spec_tokens_per_sec": round(1.0 / spec.time_per_output_token, 2),
+            "ar_tpot_ms": round(ar_tpot * 1e3, 4),
+            "spec_tpot_ms": round(spec_tpot * 1e3, 4),
+            "ar_tokens_per_sec": round(1.0 / ar_tpot, 2),
+            "spec_tokens_per_sec": round(1.0 / spec_tpot, 2),
+            "reps": reps,
+            "ar_tpot_ms_spread": [round(t * 1e3, 4) for t in ar_tpots],
+            "spec_tpot_ms_spread": [round(t * 1e3, 4) for t in spec_tpots],
             "tau": round(tau, 3),
             "ref_ar_tpot_ms": 43.140,
             "ref_spec_tpot_ms": 7.273,

@@ -118,6 +118,11 @@ class Request:
     # once per scheduling window (a stop can overshoot by up to one window of
     # cycles on-device; the overshoot is trimmed before the result surfaces).
     stop_strings: Tuple[str, ...] = ()
+    # Incremental stop-scan state: generated tokens already scanned clean
+    # (no stop string found up to this many tokens) — each window decodes
+    # only the new tokens plus a max-stop-length overlap, not the whole
+    # generation (see _find_stop_cut).
+    scanned_tokens: int = 0
     submitted_at: float = field(default_factory=time.perf_counter)
     # Streaming: when set, the engine pushes {"token_ids": [...], "finished":
     # False} per scheduling window as tokens commit, then one final item with
@@ -134,6 +139,13 @@ class Request:
 class _GroupPrefillError(RuntimeError):
     """Group admission failed before any engine buffer was donated —
     the caller may safely retry the requests one at a time."""
+
+
+class _EngineStateLost(RuntimeError):
+    """A donating dispatch failed AFTER consuming the engine state's buffers:
+    every in-flight request's KV is gone.  The engine recovers by failing
+    those requests individually and rebuilding an empty state — the engine
+    itself keeps serving (see _recover_lost_state)."""
 
 
 def _select_lane(batched, lane: jax.Array, single, axis: int = 0):
@@ -244,6 +256,11 @@ class ContinuousBatchingEngine:
         self._last_start_host: Optional[np.ndarray] = None
         self._rid = itertools.count()
         self._aborted: set = set()  # rids to force-finish at next harvest
+        # rids popped from the queue but not yet bound into a lane: abort()
+        # must see these too, or a request caught mid-admission would be
+        # invisible to both the queue drain and the lane scan and run to
+        # completion uncancellable.
+        self._pending_admit: set = set()
         self._abort_lock = threading.Lock()
         self._lock = threading.Lock()
         self._running = False
@@ -397,7 +414,10 @@ class ContinuousBatchingEngine:
                 self._queue.put(r)
             if hit:
                 return True
-            if any(r is not None and r.rid == rid for r in self._lane_req):
+            if (
+                any(r is not None and r.rid == rid for r in self._lane_req)
+                or rid in self._pending_admit
+            ):
                 self._aborted.add(rid)
                 return True
             return False
@@ -536,11 +556,14 @@ class ContinuousBatchingEngine:
     def _admit_pending(self) -> None:
         free = [l for l in range(self.cfg.num_lanes) if self._lane_req[l] is None]
         reqs: List[Request] = []
-        while len(reqs) < len(free):
-            try:
-                reqs.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
+        with self._abort_lock:  # pop + register atomically vs abort()'s scan
+            while len(reqs) < len(free):
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                reqs.append(r)
+                self._pending_admit.add(r.rid)
         if not reqs:
             return
         # Admission bursts (startup, post-retire) run each group of
@@ -569,10 +592,16 @@ class ContinuousBatchingEngine:
                     continue
                 except _GroupPrefillError:
                     pass  # fall through to per-request admission below
-                # NOTE: an exception AFTER the group prefill (i.e. from the
-                # donating _admit_many) propagates — self._state's buffers
-                # are gone, so retrying per-request would dispatch on
-                # deleted arrays; that is an engine-level failure.
+                except _EngineStateLost as e:
+                    # The donating _admit_many consumed self._state's buffers
+                    # and then failed: every in-flight request's KV is gone.
+                    # Fail them, re-queue the not-yet-dispatched admissions,
+                    # and keep serving — a known kill-path is not acceptable
+                    # in a serving engine.
+                    self._recover_lost_state(
+                        group, reqs[i + len(group):], str(e)
+                    )
+                    return
             # A bad request (e.g. malformed ids tripping a device error during
             # its prefill) must not kill the other lanes: surface the failure
             # on the request itself and keep serving (SURVEY §5 failure row —
@@ -581,16 +610,44 @@ class ContinuousBatchingEngine:
                 try:
                     self._admit_request(lane, req)
                 except Exception as e:  # noqa: BLE001 — isolate per-request faults
-                    req.error = f"{type(e).__name__}: {e}"
-                    req.meta_info = {"error": req.error}
-                    self.completed[req.rid] = req
-                    if req.stream_queue is not None:  # unblock SSE consumers
-                        req.stream_queue.put({
-                            "token_ids": [], "finished": True,
-                            "meta_info": req.meta_info,
-                        })
-                    req.done_event.set()
+                    self._fail_request(req, f"{type(e).__name__}: {e}")
             i += len(group)
+
+    def _fail_request(self, req: Request, msg: str) -> None:
+        """Surface a per-request failure: error recorded, SSE consumers
+        unblocked, waiters released; the engine keeps serving."""
+        req.error = msg
+        req.meta_info = {"error": req.error}
+        self.completed[req.rid] = req
+        with self._abort_lock:
+            self._pending_admit.discard(req.rid)
+            self._aborted.discard(req.rid)
+        if req.stream_queue is not None:  # unblock SSE consumers
+            req.stream_queue.put({
+                "token_ids": [], "finished": True, "meta_info": req.meta_info,
+            })
+        req.done_event.set()
+
+    def _recover_lost_state(self, failed: List[Request],
+                            requeue: List[Request], cause: str) -> None:
+        """Rebuild after a donating dispatch consumed the engine state and
+        then failed.  The donated buffers (all lanes' KV, committed tokens)
+        are unrecoverable, so every ACTIVE request fails individually — but
+        the engine itself survives: fresh empty state, epochs bumped so any
+        in-flight peek of the dead state is ignored, and requests whose
+        prefill had not been dispatched yet go back to the queue untouched."""
+        victims = list(failed) + [r for r in self._lane_req if r is not None]
+        for req in victims:
+            self._fail_request(req, f"engine state lost during admission: {cause}")
+        with self._abort_lock:
+            for req in requeue:
+                self._pending_admit.discard(req.rid)
+                self._queue.put(req)
+        self._lane_req = [None] * self.cfg.num_lanes
+        self._lane_epoch += 1  # any pending peek describes the dead state
+        self._peek_pending = None
+        self._last_start_host = None
+        self._state = self._empty_state(self.cfg.num_lanes)
 
     def _prompt_bucket(self, prompt_len: int) -> int:
         """Smallest prompt_bucket multiple covering prompt_len, capped."""
@@ -603,8 +660,10 @@ class ContinuousBatchingEngine:
         to powers of two so the compile count stays logarithmic.
 
         Failures BEFORE the donating multi-lane admit raise
-        :class:`_GroupPrefillError` (safe to retry per-request); failures
-        inside ``_admit_many`` propagate — the engine state was donated."""
+        :class:`_GroupPrefillError` (safe to retry per-request); a failure
+        inside ``_admit_many`` raises :class:`_EngineStateLost` when the
+        donation actually consumed the state's buffers (the caller rebuilds
+        and keeps serving), else :class:`_GroupPrefillError`."""
         from dflash_tpu.spec.batched import jit_batched_prefill
 
         k = len(reqs)
@@ -631,9 +690,19 @@ class ContinuousBatchingEngine:
             jax.block_until_ready(group.start)  # surface prefill faults here
         except Exception as e:  # noqa: BLE001
             raise _GroupPrefillError(str(e)) from e
-        self._state = _admit_many(
-            self._state, jnp.asarray(lanes, jnp.int32), group, k=k
-        )
+        try:
+            self._state = _admit_many(
+                self._state, jnp.asarray(lanes, jnp.int32), group, k=k
+            )
+        except Exception as e:  # noqa: BLE001 — classify by donation outcome
+            if any(
+                getattr(x, "is_deleted", lambda: False)()
+                for x in jax.tree.leaves(self._state)
+            ):
+                raise _EngineStateLost(str(e)) from e
+            # failed before execution consumed the buffers (e.g. compile
+            # error): state intact, per-request retry is safe
+            raise _GroupPrefillError(str(e)) from e
         for lane, req in zip(lanes, reqs):
             self._bind_lane(lane, req)
 
@@ -655,6 +724,8 @@ class ContinuousBatchingEngine:
         )
 
     def _bind_lane(self, lane: int, req: Request) -> None:
+        with self._abort_lock:
+            self._pending_admit.discard(req.rid)
         self._lane_req[lane] = req
         self._lane_prompt_len[lane] = len(req.input_ids)
         self._lane_max_length[lane] = len(req.input_ids) + req.max_new_tokens
@@ -751,16 +822,44 @@ class ContinuousBatchingEngine:
         the decoded generation, or (None, None).  The returned count is the
         smallest prefix whose decoding contains the match — the boundary token
         is kept (token ids are not re-segmented; the server truncates the
-        *text* at the match, which is the user-visible SGLang behavior)."""
-        text = self.tokenizer.decode(gen, skip_special_tokens=True)
-        if not any(s in text for s in req.stop_strings):
+        *text* at the match, which is the user-visible SGLang behavior).
+
+        Incremental: each window decodes only the NEW tokens plus a
+        max-stop-length overlap (``req.scanned_tokens`` tracks the clean
+        frontier), and a hit binary-searches the exact cut — O(log n) prefix
+        decodes instead of one per prefix.  The committed generation is
+        append-only, so "a stop appears in decode(gen[:n])" is monotone in n."""
+        total = len(gen)
+        if total == 0:
             return None, None
-        for n in range(1, len(gen) + 1):
-            t = self.tokenizer.decode(gen[:n], skip_special_tokens=True)
-            for s in req.stop_strings:
-                if s in t:
-                    return n, s
-        return len(gen), next(s for s in req.stop_strings if s in text)
+        dec = lambda n: self.tokenizer.decode(gen[:n], skip_special_tokens=True)
+        hit = lambda text: any(s in text for s in req.stop_strings)
+        # Overlap re-covers a stop spanning the window boundary: a stop of L
+        # chars spans at most L 1-char tokens, +4 tokens of margin for byte-
+        # level tokens that decode to partial/empty pieces.
+        max_stop = max(len(s) for s in req.stop_strings)
+        lo = max(0, min(req.scanned_tokens, total) - (max_stop + 4))
+        tail = self.tokenizer.decode(gen[lo:], skip_special_tokens=True)
+        req.scanned_tokens = total
+        if not hit(tail):
+            return None, None
+        if not hit(dec(total)):
+            return None, None  # tail-only decode artifact, not a real match
+        # invariant: not hit(dec(lo)), hit(dec(hi)); previous windows scanned
+        # [0, lo) clean — if a decode-boundary artifact breaks that, restart
+        # from 0 (hit(dec(0)) is False: stops are non-empty)
+        if lo > 0 and hit(dec(lo)):
+            lo = 0
+        hi = total
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if hit(dec(mid)):
+                hi = mid
+            else:
+                lo = mid
+        text = dec(hi)
+        matched = min((s for s in req.stop_strings if s in text), key=text.index)
+        return hi, matched
 
     @staticmethod
     def _push_stream(req: Request, gen: np.ndarray) -> None:
@@ -903,21 +1002,31 @@ class BucketedEngine:
         self.buckets = sorted(
             buckets, key=lambda b: b.prompt_cap + b.max_new_tokens
         )
-        # The prefix-cache budget is SPLIT across rungs (each pool holds an
-        # independent LRU; entries are not shared cross-rung), so the flag
-        # stays the total device-memory bound.
-        per_pool_mb = cfg.prefix_cache_mb // len(self.buckets)
         self.pools = [
             ContinuousBatchingEngine(
                 tcfg, dcfg, t_params, d_params,
                 dataclasses.replace(
                     cfg, num_lanes=b.num_lanes, prompt_cap=b.prompt_cap,
-                    max_new_tokens=b.max_new_tokens, prefix_cache_mb=per_pool_mb,
+                    max_new_tokens=b.max_new_tokens, prefix_cache_mb=0,
                 ),
                 tokenizer=tokenizer,
             )
             for b in self.buckets
         ]
+        # ONE prefix cache shared across rungs: entries are sliced to
+        # prompt_bucket boundaries (PrefixEntry.truncated), so a prefix
+        # prefilled in one pool resumes admissions in every pool — a mixed-
+        # length workload pays for a shared system prompt once, and the flag
+        # stays the total device-memory bound.
+        self._prefix_cache = None
+        if cfg.prefix_cache_mb > 0:
+            from dflash_tpu.engine.prefix_cache import PrefixCache
+
+            self._prefix_cache = PrefixCache(
+                cfg.prefix_cache_mb * (1 << 20), cfg.prompt_bucket
+            )
+            for p in self.pools:
+                p._prefix_cache = self._prefix_cache
         # one request-id space across pools (completed dict merges by rid)
         shared_rid = itertools.count()
         for p in self.pools:
@@ -955,8 +1064,22 @@ class BucketedEngine:
         return sum(p.step() for p in self.pools)
 
     def run_until_drained(self, max_steps: int = 100_000) -> None:
-        for p in self.pools:
-            p.run_until_drained(max_steps)
+        # Round-robin across pools (NOT pool 0 to empty while pool 1 idles):
+        # every pool advances one scheduling window per pass, so a mixed-
+        # length workload keeps all rungs' lanes busy concurrently.
+        for _ in range(max_steps):
+            busy = False
+            for p in self.pools:
+                active = p.step()
+                busy |= bool(
+                    active
+                    or p._peek_pending is not None
+                    or not p._queue.empty()
+                    or any(r is not None for r in p._lane_req)
+                )
+            if not busy:
+                return
+        raise RuntimeError("run_until_drained exceeded max_steps")
 
     def start(self) -> None:
         for p in self.pools:

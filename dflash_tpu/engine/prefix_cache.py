@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import threading
 from collections import OrderedDict
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -75,6 +76,9 @@ class PrefixCache:
         self._bytes = 0
         self.hits = 0
         self.misses = 0
+        # One cache may be shared by several engine pools (the BucketedEngine
+        # rungs), each with its own scheduler thread.
+        self._lock = threading.Lock()
 
     def lookup(self, ids: np.ndarray, max_prefix: int) -> Optional[Tuple[int, PrefixEntry]]:
         """Longest cached prefix of ``ids`` at a granularity boundary, at most
@@ -82,54 +86,57 @@ class PrefixCache:
         suffix token must remain to produce the last-hidden row)."""
         ids = np.asarray(ids).reshape(-1)
         n = (min(max_prefix, ids.shape[0] - 1) // self.granularity) * self.granularity
-        while n >= self.granularity:
-            hit = self._index.get(_key(ids, n))
-            if hit is not None:
-                gid, n_hit = hit
-                entry, _ = self._groups[gid]
-                self._groups.move_to_end(gid)
-                self.hits += 1
-                return n_hit, entry.truncated(n_hit)
-            n -= self.granularity
-        self.misses += 1
-        return None
+        with self._lock:
+            while n >= self.granularity:
+                hit = self._index.get(_key(ids, n))
+                if hit is not None:
+                    gid, n_hit = hit
+                    entry, _ = self._groups[gid]
+                    self._groups.move_to_end(gid)
+                    self.hits += 1
+                    return n_hit, entry.truncated(n_hit)
+                n -= self.granularity
+            self.misses += 1
+            return None
 
     def insert(self, ids: np.ndarray, entry: PrefixEntry) -> None:
         n_max = entry.prefix_len
         if n_max < self.granularity or n_max % self.granularity:
             return
         ids = np.asarray(ids).reshape(-1)
-        full_key = _key(ids, n_max)
-        if full_key in self._index:
-            self._groups.move_to_end(self._index[full_key][0])
-            return
-        size = entry.nbytes
-        if size > self.capacity:
-            return
-        while self._bytes + size > self.capacity and self._groups:
-            self._evict_oldest()
-        gid = next(self._gid)
-        keys = []
-        displaced = set()
-        for n in range(self.granularity, n_max + 1, self.granularity):
-            key = _key(ids, n)
-            old = self._index.get(key)
-            if old is not None and old[0] != gid:
-                displaced.add(old[0])
-            self._index[key] = (gid, n)
-            keys.append(key)
-        self._groups[gid] = (entry, keys)
-        self._bytes += size
-        # a shorter-prefix group whose every boundary key was just repointed
-        # to this longer entry is unreachable — free its bytes now rather
-        # than letting a dead entry occupy capacity until LRU pressure
-        for og in displaced:
-            got = self._groups.get(og)
-            if got is not None and not any(
-                self._index.get(k, (None,))[0] == og for k in got[1]
-            ):
-                self._bytes -= got[0].nbytes
-                del self._groups[og]
+        with self._lock:
+            full_key = _key(ids, n_max)
+            if full_key in self._index:
+                self._groups.move_to_end(self._index[full_key][0])
+                return
+            size = entry.nbytes
+            if size > self.capacity:
+                return
+            while self._bytes + size > self.capacity and self._groups:
+                self._evict_oldest()
+            gid = next(self._gid)
+            keys = []
+            displaced = set()
+            for n in range(self.granularity, n_max + 1, self.granularity):
+                key = _key(ids, n)
+                old = self._index.get(key)
+                if old is not None and old[0] != gid:
+                    displaced.add(old[0])
+                self._index[key] = (gid, n)
+                keys.append(key)
+            self._groups[gid] = (entry, keys)
+            self._bytes += size
+            # a shorter-prefix group whose every boundary key was just
+            # repointed to this longer entry is unreachable — free its bytes
+            # now rather than letting a dead entry occupy capacity until LRU
+            # pressure
+            for og in displaced:
+                got = self._groups.get(og)
+                if got is not None and not any(
+                    self._index.get(k, (None,))[0] == og for k in got[1]
+                ):
+                    self._bytes -= got[0].nbytes
+                    del self._groups[og]
 
     def _evict_oldest(self) -> None:
         gid, (entry, keys) = self._groups.popitem(last=False)
@@ -139,6 +146,7 @@ class PrefixCache:
                 del self._index[key]
 
     def clear(self) -> None:
-        self._groups.clear()
-        self._index.clear()
-        self._bytes = 0
+        with self._lock:
+            self._groups.clear()
+            self._index.clear()
+            self._bytes = 0

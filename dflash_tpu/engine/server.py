@@ -22,6 +22,7 @@ handler threads only enqueue and wait on completion events.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -30,6 +31,31 @@ from typing import Optional
 import numpy as np
 
 from dflash_tpu.engine.batching import ContinuousBatchingEngine
+
+
+def stable_prefix(text: str, stop_strings=()) -> str:
+    """The prefix of a cumulative decode that is safe to ship as an SSE
+    *delta* (clients concatenate deltas; shipped text can never be revised):
+
+    * trailing U+FFFD is held back — with byte-level BPE a multibyte char
+      split across tokens decodes to a replacement char first ("a\\ufffd")
+      and to the real char ("a好") once the next token lands;
+    * a trailing proper prefix of any stop string is held back — if the rest
+      of the stop arrives next window the final text is truncated BEFORE the
+      match, so those chars must never have been shipped.
+
+    Both hold-backs resolve at the final (finished) chunk, which ships the
+    remainder as-is.  The incremental-detokenization approach of
+    SGLang/vLLM (ADVICE r2)."""
+    while text.endswith("�"):
+        text = text[:-1]
+    hold = 0
+    for s in stop_strings:
+        for k in range(min(len(s) - 1, len(text)), 0, -1):
+            if text.endswith(s[:k]):
+                hold = max(hold, k)
+                break
+    return text[:-hold] if hold else text
 
 
 class EngineHTTPServer:
@@ -182,24 +208,36 @@ class EngineHTTPServer:
         handler.send_header("Connection", "close")
         handler.end_headers()
         acc: list = []
-        while True:
-            item = req.stream_queue.get(timeout=600)
-            acc.extend(item["token_ids"])
-            meta = item.get("meta_info") or {"completion_tokens": len(acc)}
-            # rid lets a streaming client POST /abort_request on disconnect
-            chunk = {"rid": req.rid, "output_ids": list(acc), "meta_info": meta}
-            if req.error is not None:
-                chunk["error"] = req.error
-            elif self.tokenizer is not None:
-                chunk["text"] = self._decode_text(
-                    np.asarray(acc, np.int64), meta, stop_strings
-                )
-            handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        finished = False
+        # A consumer that goes away must free its lane: client disconnect
+        # raises BrokenPipeError/OSError mid-write, an engine stall raises
+        # queue.Empty — in both cases abort the request instead of letting
+        # the lane generate to max_new_tokens for nobody.
+        try:
+            while True:
+                item = req.stream_queue.get(timeout=600)
+                acc.extend(item["token_ids"])
+                meta = item.get("meta_info") or {"completion_tokens": len(acc)}
+                # rid lets a streaming client POST /abort_request on disconnect
+                chunk = {"rid": req.rid, "output_ids": list(acc), "meta_info": meta}
+                if req.error is not None:
+                    chunk["error"] = req.error
+                elif self.tokenizer is not None:
+                    chunk["text"] = self._decode_text(
+                        np.asarray(acc, np.int64), meta, stop_strings
+                    )
+                finished = item["finished"]
+                handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                handler.wfile.flush()
+                if finished:
+                    break
+            handler.wfile.write(b"data: [DONE]\n\n")
             handler.wfile.flush()
-            if item["finished"]:
-                break
-        handler.wfile.write(b"data: [DONE]\n\n")
-        handler.wfile.flush()
+        except (queue.Empty, OSError):
+            pass
+        finally:
+            if not finished:
+                self.engine.abort(req.rid)
 
     # -- OpenAI-compatible surface ------------------------------------------
     # /v1/chat/completions and /v1/completions (the API SGLang exposes for
@@ -278,35 +316,48 @@ class EngineHTTPServer:
         acc: list = []
         prev_text = ""
         first = True
+        fin = False
         chunk_obj = "chat.completion.chunk" if is_chat else obj
-        while True:
-            item = req.stream_queue.get(timeout=600)
-            acc.extend(item["token_ids"])
-            meta = item.get("meta_info")
-            cum = self._decode_text(np.asarray(acc, np.int64), meta, stop_strings)
-            delta = cum[len(prev_text):]
-            prev_text = cum
-            fin = item["finished"]
-            choice = {"index": 0, "finish_reason": finish_of(meta) if fin else None}
-            if is_chat:
-                delta_obj = {}
-                if first:
-                    delta_obj["role"] = "assistant"
-                    first = False
-                if delta:
-                    delta_obj["content"] = delta
-                choice["delta"] = delta_obj
-            else:
-                choice["text"] = delta
-            chunk = {"id": rid, "object": chunk_obj,
-                     "created": created, "model": self.model_name,
-                     "choices": [choice]}
-            handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        try:
+            while True:
+                item = req.stream_queue.get(timeout=600)
+                acc.extend(item["token_ids"])
+                meta = item.get("meta_info")
+                cum = self._decode_text(np.asarray(acc, np.int64), meta, stop_strings)
+                fin = item["finished"]
+                # OpenAI chunks are DELTAS (clients concatenate): only the
+                # stable prefix ships — trailing replacement chars and partial
+                # stop-string suffixes are held back until resolved (the final
+                # chunk ships whatever remains).
+                stable = cum if fin else stable_prefix(cum, stop_strings)
+                delta = stable[len(prev_text):]
+                prev_text = stable
+                choice = {"index": 0,
+                          "finish_reason": finish_of(meta) if fin else None}
+                if is_chat:
+                    delta_obj = {}
+                    if first:
+                        delta_obj["role"] = "assistant"
+                        first = False
+                    if delta:
+                        delta_obj["content"] = delta
+                    choice["delta"] = delta_obj
+                else:
+                    choice["text"] = delta
+                chunk = {"id": rid, "object": chunk_obj,
+                         "created": created, "model": self.model_name,
+                         "choices": [choice]}
+                handler.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                handler.wfile.flush()
+                if fin:
+                    break
+            handler.wfile.write(b"data: [DONE]\n\n")
             handler.wfile.flush()
-            if fin:
-                break
-        handler.wfile.write(b"data: [DONE]\n\n")
-        handler.wfile.flush()
+        except (queue.Empty, OSError):
+            pass
+        finally:
+            if not fin:
+                self.engine.abort(req.rid)
 
     def start(self) -> None:
         self.engine.start()
