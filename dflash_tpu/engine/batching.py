@@ -34,6 +34,7 @@ from dflash_tpu.spec.engine import (
     LoopState,
     SamplingFilters,
     _prefill,
+    _prefill_chunk,
     _prefill_from_prefix,
 )
 
@@ -94,6 +95,23 @@ class EngineConfig:
     # no-ops (top_k<=0 / top_p>=1, or effectively-greedy top_k==1) are still
     # accepted and normalized; anything else is rejected at submit().
     sampling_filters: bool = False
+    # Static candidate pool for the filtered sampler: EXACT for any
+    # top_k <= topk_pool (ops/sampling.py uses an exact partial-reduce +
+    # full-vocab-normalized nucleus); submit() REJECTS top_k > topk_pool —
+    # no silent clamp (a request asking top_k=100 must not quietly get
+    # 64-candidate semantics).  One executable per pool size.
+    topk_pool: int = 64
+    # Chunk-interleaved admission prefill (the serving role of SGLang's
+    # chunked prefill, reference benchmark_sglang.py:436-447): a long
+    # admission's prompt prefix is prefilled in admission_chunk-token
+    # dispatches INTERLEAVED between decode windows, so admitting a 2k
+    # prompt stalls the running lanes by at most one chunk per window
+    # instead of one full O(P²) prefill.  The completed prefix rows feed the
+    # existing _prefill_from_prefix resume path (token parity pinned by
+    # tests).  None disables (admissions prefill in one dispatch).
+    admission_chunk: Optional[int] = None
+    # chunk dispatches per scheduling window across in-flight admissions
+    admission_chunks_per_step: int = 1
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
     # environment; compute per cycle is identical, see bench.py).
@@ -146,6 +164,22 @@ class _EngineStateLost(RuntimeError):
     every in-flight request's KV is gone.  The engine recovers by failing
     those requests individually and rebuilding an empty state — the engine
     itself keeps serving (see _recover_lost_state)."""
+
+
+@dataclass
+class _PrefillTask:
+    """An in-flight chunk-interleaved admission: the prompt prefix [0, p0)
+    is prefilled chunk-by-chunk between decode windows into a scratch cache
+    independent of the lane state; on completion the request is admitted via
+    the prefix-resume path."""
+
+    req: Request
+    lane: int
+    padded: np.ndarray  # [1, Pb] bucket-padded prompt ids
+    scratch_kv: object  # KVCache | QuantKVCache sized [L, 1, Pb, ...]
+    taps_buf: jax.Array  # [1, Pb, n_taps * H]
+    c0: int  # next chunk start (multiple of the chunk size)
+    p0: int  # prefix target: largest chunk multiple <= prompt_len - 1
 
 
 def _select_lane(batched, lane: jax.Array, single, axis: int = 0):
@@ -255,6 +289,9 @@ class ContinuousBatchingEngine:
         self._lane_epoch = np.zeros((R,), np.int64)
         self._last_start_host: Optional[np.ndarray] = None
         self._rid = itertools.count()
+        # chunk-interleaved admissions in flight + their reserved lanes
+        self._prefill_tasks: List[_PrefillTask] = []
+        self._lane_reserved: set = set()
         self._aborted: set = set()  # rids to force-finish at next harvest
         # rids popped from the queue but not yet bound into a lane: abort()
         # must see these too, or a request caught mid-admission would be
@@ -286,6 +323,7 @@ class ContinuousBatchingEngine:
                     stop_token_ids=tuple(cfg.stop_token_ids),
                     n_steps=n_steps,
                     forced_acc=forced,
+                    topk_pool=cfg.topk_pool,
                 ),
                 donate_argnums=(0,),
             )
@@ -369,6 +407,12 @@ class ContinuousBatchingEngine:
                 "request has top_k/top_p but the engine was built with "
                 "sampling_filters=False"
             )
+        if top_k > self.cfg.topk_pool:
+            raise ValueError(
+                f"top_k={top_k} exceeds this engine's exact sampling pool "
+                f"(topk_pool={self.cfg.topk_pool}); configure a wider pool "
+                f"instead of silently clamping"
+            )
         req = Request(
             rid=next(self._rid),
             input_ids=input_ids.astype(np.int32),
@@ -443,10 +487,12 @@ class ContinuousBatchingEngine:
 
         if not self.cfg.overlap:
             if n_active == 0:
-                return 0
+                self._step_prefill_tasks()
+                return len(self._prefill_tasks)
             self._dispatch_window()
+            self._step_prefill_tasks()
             self._retire_finished()
-            return n_active
+            return n_active + len(self._prefill_tasks)
 
         new_peek = None
         if n_active > 0:
@@ -455,10 +501,14 @@ class ContinuousBatchingEngine:
             for leaf in peek:
                 leaf.copy_to_host_async()
             new_peek = (peek, self._lane_epoch.copy())
+        # in-flight admission chunks dispatch BEHIND the decode window: the
+        # device runs window then chunk(s), so each window is delayed by at
+        # most admission_chunks_per_step chunk forwards, never a full prefill
+        self._step_prefill_tasks()
         if self._peek_pending is not None:
             self._harvest(self._peek_pending)
         self._peek_pending = new_peek
-        return n_active
+        return n_active + len(self._prefill_tasks)
 
     def _dispatch_window(self) -> None:
         window = self._pick_window()
@@ -554,7 +604,10 @@ class ContinuousBatchingEngine:
         return self._max_window
 
     def _admit_pending(self) -> None:
-        free = [l for l in range(self.cfg.num_lanes) if self._lane_req[l] is None]
+        free = [
+            l for l in range(self.cfg.num_lanes)
+            if self._lane_req[l] is None and l not in self._lane_reserved
+        ]
         reqs: List[Request] = []
         with self._abort_lock:  # pop + register atomically vs abort()'s scan
             while len(reqs) < len(free):
@@ -608,7 +661,14 @@ class ContinuousBatchingEngine:
             # the reference only has sweep-level CONTINUE_ON_ERROR).
             for lane, req in zip(lanes, group):
                 try:
-                    self._admit_request(lane, req)
+                    chunk = self.cfg.admission_chunk
+                    if (
+                        chunk is not None
+                        and ((len(req.input_ids) - 1) // chunk) * chunk >= chunk
+                    ):
+                        self._start_prefill_task(lane, req)
+                    else:
+                        self._admit_request(lane, req)
                 except Exception as e:  # noqa: BLE001 — isolate per-request faults
                     self._fail_request(req, f"{type(e).__name__}: {e}")
             i += len(group)
@@ -686,6 +746,7 @@ class ContinuousBatchingEngine:
                 tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
                 max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
                 filters=self._req_filters(reqs[0]),
+                topk_pool=self.cfg.topk_pool,
             )
             jax.block_until_ready(group.start)  # surface prefill faults here
         except Exception as e:  # noqa: BLE001
@@ -743,6 +804,7 @@ class ContinuousBatchingEngine:
             tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
             max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
             filters=self._req_filters(req),
+            topk_pool=self.cfg.topk_pool,
         )
         key = self._req_key(req)
         hit = (
@@ -773,6 +835,131 @@ class ContinuousBatchingEngine:
                     ))
         self._state = _admit(self._state, jnp.int32(lane), single)
         self._bind_lane(lane, req)
+
+    def _start_prefill_task(self, lane: int, req: Request) -> None:
+        """Begin a chunk-interleaved admission: reserve the lane, allocate a
+        bucket-sized scratch cache (seeded from the prefix cache when it
+        covers a chunk boundary), and let _step_prefill_tasks advance it one
+        chunk per scheduling window."""
+        from dflash_tpu.cache.kv import init_kv_cache, init_quant_kv_cache
+
+        chunk = self.cfg.admission_chunk
+        P = len(req.input_ids)
+        bucket = self._prompt_bucket(P)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :P] = req.input_ids
+        p0 = ((P - 1) // chunk) * chunk
+        dtype = jax.tree.leaves(self.t_params)[0].dtype
+        if dtype not in (jnp.bfloat16, jnp.float32):
+            dtype = jnp.bfloat16
+        scratch = (
+            init_quant_kv_cache(self.tcfg, 1, bucket)
+            if self.cfg.kv_quant
+            else init_kv_cache(self.tcfg, 1, bucket, dtype)
+        )
+        taps_buf = jnp.zeros(
+            (1, bucket, self.dcfg.num_taps * self.tcfg.hidden_size), dtype
+        )
+        c0 = 0
+        if self._prefix_cache is not None:
+            hit = self._prefix_cache.lookup(req.input_ids, p0)
+            if hit is not None:
+                n_hit, entry = hit
+                n0 = (n_hit // chunk) * chunk  # chunk-align the resume point
+                if n0 >= chunk:
+                    rows = jax.tree.map(lambda x: x[:, :, :n0], entry.kv_rows)
+                    scratch = jax.tree.map(
+                        lambda buf, r: jax.lax.dynamic_update_slice(
+                            buf, r.astype(buf.dtype), (0,) * buf.ndim
+                        ),
+                        scratch, rows,
+                    )
+                    taps_buf = jax.lax.dynamic_update_slice(
+                        taps_buf, entry.taps[:, :n0].astype(dtype), (0, 0, 0)
+                    )
+                    c0 = n0
+        self._lane_reserved.add(lane)
+        self._prefill_tasks.append(
+            _PrefillTask(req=req, lane=lane, padded=padded, scratch_kv=scratch,
+                         taps_buf=taps_buf, c0=c0, p0=p0)
+        )
+
+    def _step_prefill_tasks(self) -> None:
+        """Advance in-flight chunk-interleaved admissions: up to
+        ``admission_chunks_per_step`` chunk forwards total per scheduling
+        window (admission order), finalizing tasks whose prefix is done."""
+        if not self._prefill_tasks:
+            return
+        budget = max(1, self.cfg.admission_chunks_per_step)
+        for task in list(self._prefill_tasks):
+            req = task.req
+            if req.rid in self._aborted:  # dropped before admission
+                with self._abort_lock:
+                    self._aborted.discard(req.rid)
+                    self._pending_admit.discard(req.rid)
+                req.error = "aborted before admission"
+                req.meta_info = {"error": req.error,
+                                 "finish_reason": {"type": "abort"}}
+                self.completed[req.rid] = req
+                if req.stream_queue is not None:
+                    req.stream_queue.put({"token_ids": [], "finished": True,
+                                          "meta_info": req.meta_info})
+                req.done_event.set()
+                self._lane_reserved.discard(task.lane)
+                self._prefill_tasks.remove(task)
+                continue
+            if budget <= 0:
+                break
+            try:
+                C = self.cfg.admission_chunk
+                while budget > 0 and task.c0 < task.p0:
+                    ids_c = jnp.asarray(task.padded[:, task.c0:task.c0 + C])
+                    task.scratch_kv, task.taps_buf = _prefill_chunk(
+                        self.t_params, task.scratch_kv, task.taps_buf, ids_c,
+                        jnp.int32(task.c0), tcfg=self.tcfg,
+                        tap_ids=self.dcfg.target_layer_ids,
+                    )
+                    task.c0 += C
+                    budget -= 1
+                if task.c0 >= task.p0:
+                    self._finalize_prefill_task(task)
+                    self._prefill_tasks.remove(task)
+            except Exception as e:  # noqa: BLE001 — isolate per-request faults
+                self._fail_request(req, f"{type(e).__name__}: {e}")
+                self._lane_reserved.discard(task.lane)
+                self._prefill_tasks.remove(task)
+
+    def _finalize_prefill_task(self, task: _PrefillTask) -> None:
+        """Prefix rows complete: admit via the prefix-resume path (one
+        bounded suffix forward, token parity pinned by the prefix-cache
+        tests) and publish the prefix to the cache."""
+        req = task.req
+        P = len(req.input_ids)
+        rows = jax.tree.map(lambda x: x[:, :, :task.p0], task.scratch_kv)
+        taps = task.taps_buf[:, :task.p0]
+        single = _prefill_from_prefix(
+            self.t_params, self.d_params, jnp.asarray(task.padded),
+            jnp.int32(P), rows, taps,
+            jnp.float32(req.temperature), self._req_key(req),
+            tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
+            max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
+            filters=self._req_filters(req), topk_pool=self.cfg.topk_pool,
+        )
+        if self._prefix_cache is not None:
+            g = self.cfg.prompt_bucket
+            P0c = (task.p0 // g) * g
+            if P0c >= g:
+                from dflash_tpu.engine.prefix_cache import PrefixEntry
+
+                self._prefix_cache.insert(req.input_ids, PrefixEntry(
+                    kv_rows=jax.tree.map(
+                        lambda x: x[:, :, :P0c], task.scratch_kv
+                    ),
+                    taps=task.taps_buf[:, :P0c],
+                ))
+        self._state = _admit(self._state, jnp.int32(task.lane), single)
+        self._lane_reserved.discard(task.lane)
+        self._bind_lane(task.lane, req)
 
     def _retire_finished(self) -> None:
         """Sync-mode retire: the live state through the shared harvest path
@@ -926,6 +1113,7 @@ class ContinuousBatchingEngine:
                 active == 0
                 and self._peek_pending is None
                 and self._queue.empty()
+                and not self._prefill_tasks
                 and all(r is None for r in self._lane_req)
             ):
                 return
@@ -957,7 +1145,7 @@ class ContinuousBatchingEngine:
     def flush(self) -> None:
         """Drop all idle state (the /flush_cache equivalent)."""
         with self._lock:
-            if any(r is not None for r in self._lane_req):
+            if any(r is not None for r in self._lane_req) or self._prefill_tasks:
                 raise RuntimeError("cannot flush with active requests")
             self._peek_pending = None
             self._last_start_host = None
@@ -1075,6 +1263,7 @@ class BucketedEngine:
                     active
                     or p._peek_pending is not None
                     or not p._queue.empty()
+                    or p._prefill_tasks
                     or any(r is not None for r in p._lane_req)
                 )
             if not busy:

@@ -403,9 +403,18 @@ def main(argv=None) -> None:
     p.add_argument("--sampling-filters", action="store_true",
                    help="enable per-request top_k/top_p (one extra vocab "
                         "top-k per cycle; greedy-only deployments leave off)")
+    p.add_argument("--topk-pool", type=int, default=64,
+                   help="static sampling candidate pool: EXACT for any "
+                        "top_k <= pool; wider requests are rejected, never "
+                        "silently clamped")
     p.add_argument("--prefix-cache-mb", type=int, default=0,
                    help="prompt-prefix cache budget (SGLang radix-cache "
                         "equivalent); 0 disables")
+    p.add_argument("--admission-chunk", type=int, default=None,
+                   help="chunk-interleaved admission prefill: long prompts "
+                        "prefill in this many tokens per decode window "
+                        "instead of one stalling O(P^2) dispatch (SGLang "
+                        "chunked-prefill equivalent); unset disables")
     p.add_argument("--buckets", default=None,
                    help="total_len ladder: comma list of prompt_cap:max_new:lanes "
                         "rungs, e.g. 256:128:8,1024:512:4 — short requests decode "
@@ -431,6 +440,8 @@ def main(argv=None) -> None:
         kv_quant=args.kv_quant,
         prefix_cache_mb=args.prefix_cache_mb,
         sampling_filters=args.sampling_filters,
+        topk_pool=args.topk_pool,
+        admission_chunk=args.admission_chunk,
     )
     if args.buckets:
         rungs = [

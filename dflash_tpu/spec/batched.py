@@ -91,13 +91,14 @@ def batched_prefill(
     max_cycles: int,
     kv_quant: bool = False,
     filters: SamplingFilters | None = None,  # scalar leaves, shared by the group
+    topk_pool: int = 64,
 ) -> LoopState:
     """Per-request prefill; returns a LoopState with the request axis per
     STATE_AXES (leading everywhere except the KV caches, where it sits
     behind the layer axis)."""
     f = partial(
         _prefill_impl, tcfg=tcfg, dcfg=dcfg, total_len=total_len,
-        max_cycles=max_cycles, kv_quant=kv_quant,
+        max_cycles=max_cycles, kv_quant=kv_quant, topk_pool=topk_pool,
     )
     return jax.vmap(
         lambda tp, dp, ids, pl, temp, k: f(tp, dp, ids, pl, temp, k, filters=filters),
@@ -120,6 +121,7 @@ def batched_decode(
     max_cycles: int,
     forced_acc=None,  # optional [R, max_cycles] per-lane acceptance override
     filters: SamplingFilters | None = None,  # optional [R]-leaf per-lane top-k/top-p
+    topk_pool: int = 64,
 ) -> LoopState:
     # NOT vmap(_decode_impl): a vmapped while_loop freezes finished lanes by
     # selecting over EVERY carry each iteration — profiled at 2.3 GB of KV
@@ -136,6 +138,7 @@ def batched_decode(
             st, t_params, d_params, temp,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=fa, filters=flt,
+            topk_pool=topk_pool,
         )
 
     fa_axis = None if forced_acc is None else 0
@@ -186,6 +189,7 @@ def batched_cycles(
     n_steps: int = 1,
     forced_acc=None,  # optional [max_cycles] shared acceptance override
     filters: SamplingFilters | None = None,  # optional [R]-leaf per-lane top-k/top-p
+    topk_pool: int = 64,
 ) -> LoopState:
     """``n_steps`` speculative cycles for every active lane in ONE dispatch.
 
@@ -202,6 +206,7 @@ def batched_cycles(
     f = partial(
         _cycle, tcfg=tcfg, dcfg=dcfg, block_size=block_size,
         stop_token_ids=stop_token_ids, forced_acc=forced_acc,
+        topk_pool=topk_pool,
     )
     vcycle = jax.vmap(
         lambda st, temp, flt: f(st, t_params, d_params, temp, filters=flt),
@@ -260,11 +265,16 @@ def batched_cycle(
 
 jit_batched_prefill = jax.jit(
     batched_prefill,
-    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles", "kv_quant"),
+    static_argnames=(
+        "tcfg", "dcfg", "total_len", "max_cycles", "kv_quant", "topk_pool",
+    ),
 )
 jit_batched_decode = jax.jit(
     batched_decode,
-    static_argnames=("tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles"),
+    static_argnames=(
+        "tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles",
+        "topk_pool",
+    ),
 )
 jit_batched_cycle = jax.jit(
     batched_cycle, static_argnames=("tcfg", "dcfg", "block_size", "stop_token_ids")

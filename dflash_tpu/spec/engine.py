@@ -43,7 +43,7 @@ from dflash_tpu.cache.kv import (
 )
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
-from dflash_tpu.ops.sampling import acceptance_length, sample, sample_topk_topp
+from dflash_tpu.ops.sampling import TOPK_POOL, acceptance_length, sample, sample_topk_topp
 
 
 class SamplingFilters(NamedTuple):
@@ -61,10 +61,13 @@ def _sample_posterior(
     temperature: jax.Array,
     key: jax.Array,
     filters: Optional[SamplingFilters],
+    topk_pool: int = TOPK_POOL,
 ) -> jax.Array:
     if filters is None:
         return sample(logits, temperature, key)
-    return sample_topk_topp(logits, temperature, key, filters.top_k, filters.top_p)
+    return sample_topk_topp(
+        logits, temperature, key, filters.top_k, filters.top_p, pool=topk_pool
+    )
 
 
 class LoopState(NamedTuple):
@@ -186,6 +189,7 @@ def _prefill_impl(
     seq_axis: Optional[str] = None,
     attn_impl: str = "xla",
     filters: Optional[SamplingFilters] = None,
+    topk_pool: int = TOPK_POOL,
 ) -> LoopState:
     """Target prefill + first-token sample + draft context prefill.
 
@@ -208,7 +212,8 @@ def _prefill_impl(
         attn_impl=attn_impl,
     )
     first_token = _sample_posterior(
-        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters
+        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters,
+        topk_pool,
     )  # [1,1]
 
     output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
@@ -254,6 +259,7 @@ def _prefill_from_prefix_impl(
     max_cycles: int,
     kv_quant: bool = False,
     filters: Optional[SamplingFilters] = None,
+    topk_pool: int = TOPK_POOL,
 ) -> LoopState:
     """Prefill resuming from a cached prompt prefix (engine prefix cache,
     the TPU-native counterpart of SGLang's radix cache): the cached rows are
@@ -291,7 +297,8 @@ def _prefill_from_prefix_impl(
         res.hidden, prompt_len - 1 - P0, 1, axis=1
     )
     first_token = _sample_posterior(
-        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters
+        qwen3.lm_head(t_params, last_hidden), temperature, k_sample, filters,
+        topk_pool,
     )
 
     output_ids = jnp.full((1, total_len), dcfg.mask_token_id, jnp.int32)
@@ -324,7 +331,44 @@ def _prefill_from_prefix_impl(
 
 _prefill_from_prefix = jax.jit(
     _prefill_from_prefix_impl,
-    static_argnames=("tcfg", "dcfg", "total_len", "max_cycles", "kv_quant"),
+    static_argnames=(
+        "tcfg", "dcfg", "total_len", "max_cycles", "kv_quant", "topk_pool",
+    ),
+)
+
+
+def _prefill_chunk_impl(
+    t_params,
+    scratch_kv,  # KVCache | QuantKVCache sized [L, 1, P0_cap, ...] (donated)
+    taps_buf: jax.Array,  # [1, P0_cap, n_taps * H] (donated)
+    chunk_ids: jax.Array,  # [1, C] the chunk's token ids
+    c0: jax.Array,  # [] int32 — absolute start position of this chunk
+    *,
+    tcfg: ModelConfig,
+    tap_ids: Tuple[int, ...],
+):
+    """ONE chunk of an interleaved admission prefill (engine/batching.py):
+    a C-token incremental forward against the partial prompt KV, dispatched
+    BETWEEN decode windows so a long admission never stalls the running
+    lanes for a full O(P²) prefill (the serving role of SGLang's chunked
+    prefill, reference benchmark_sglang.py:436-447).  The completed prefix
+    rows feed the existing ``_prefill_from_prefix`` resume path."""
+    C = chunk_ids.shape[1]
+    L = taps_buf.shape[1]
+    pos_c = c0 + jnp.arange(C, dtype=jnp.int32)[None, :]
+    mask = qwen3.causal_mask(pos_c[0], L)
+    res = qwen3.forward(
+        t_params, tcfg, qwen3.embed(t_params, chunk_ids), pos_c,
+        scratch_kv, c0, mask, tap_ids=tap_ids,
+    )
+    taps_buf = jax.lax.dynamic_update_slice(taps_buf, res.taps, (0, c0, 0))
+    return res.kv, taps_buf
+
+
+_prefill_chunk = jax.jit(
+    _prefill_chunk_impl,
+    static_argnames=("tcfg", "tap_ids"),
+    donate_argnums=(1, 2),
 )
 
 
@@ -407,6 +451,7 @@ def _verify_stage(
     mesh=None,
     attn_impl: str = "xla",
     filters: Optional[SamplingFilters] = None,
+    topk_pool: int = TOPK_POOL,
 ):
     B = block_size
     T = state.output_ids.shape[1]
@@ -424,7 +469,8 @@ def _verify_stage(
         attn_limit=(start + B) if attn_impl == "bucketed" else None,
     )
     posterior = _sample_posterior(
-        qwen3.lm_head(t_params, res.hidden), temperature, k_post, filters
+        qwen3.lm_head(t_params, res.hidden), temperature, k_post, filters,
+        topk_pool,
     )  # [1, B]
 
     # -- accept + commit ----------------------------------------------------
@@ -502,6 +548,7 @@ def _cycle(
     mesh=None,
     attn_impl: str = "xla",
     filters: Optional[SamplingFilters] = None,
+    topk_pool: int = TOPK_POOL,
 ):
     """One fused draft -> verify -> accept cycle (see module docstring)."""
     d_kv, block = _draft_stage(
@@ -513,7 +560,7 @@ def _cycle(
         state, d_kv, block, t_params, temperature,
         tcfg=tcfg, dcfg=dcfg, block_size=block_size,
         stop_token_ids=stop_token_ids, forced_acc=forced_acc, with_aux=with_aux,
-        mesh=mesh, attn_impl=attn_impl, filters=filters,
+        mesh=mesh, attn_impl=attn_impl, filters=filters, topk_pool=topk_pool,
     )
 
 
@@ -534,6 +581,7 @@ def _decode_impl(
     mesh=None,
     attn_impl: str = "xla",
     filters: Optional[SamplingFilters] = None,
+    topk_pool: int = TOPK_POOL,
 ) -> LoopState:
     def cond(s: LoopState):
         return (s.start < max_length) & (~s.done) & (s.cycle_idx < max_cycles)
@@ -544,7 +592,7 @@ def _decode_impl(
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
             stop_token_ids=stop_token_ids, forced_acc=forced_acc,
             draft_steps=draft_steps, mesh=mesh, attn_impl=attn_impl,
-            filters=filters,
+            filters=filters, topk_pool=topk_pool,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -554,14 +602,14 @@ _prefill = jax.jit(
     _prefill_impl,
     static_argnames=(
         "tcfg", "dcfg", "total_len", "max_cycles", "kv_quant",
-        "prefill_chunk", "mesh", "seq_axis", "attn_impl",
+        "prefill_chunk", "mesh", "seq_axis", "attn_impl", "topk_pool",
     ),
 )
 _decode = jax.jit(
     _decode_impl,
     static_argnames=(
         "tcfg", "dcfg", "block_size", "stop_token_ids", "max_cycles",
-        "draft_steps", "mesh", "attn_impl",
+        "draft_steps", "mesh", "attn_impl", "topk_pool",
     ),
 )
 
@@ -680,6 +728,7 @@ class SpecEngine:
         mesh=None,
         seq_axis: Optional[str] = None,
         attn_impl: str = "xla",
+        topk_pool: int = TOPK_POOL,
     ):
         self.tcfg = tcfg
         self.dcfg = dcfg
@@ -697,6 +746,9 @@ class SpecEngine:
         self.mesh = mesh
         self.seq_axis = seq_axis
         self.attn_impl = attn_impl
+        # static top-k/top-p candidate pool: exact for any top_k <= topk_pool
+        # (ops/sampling.py); generate() rejects wider requests loudly
+        self.topk_pool = int(topk_pool)
         self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
         if attn_impl == "pallas":
             # frontier-bounded kernel streams the cache in fixed-size chunks
@@ -760,6 +812,12 @@ class SpecEngine:
         top_k: int = 0,
         top_p: float = 1.0,
     ) -> GenerationResult:
+        if top_k > self.topk_pool:
+            raise ValueError(
+                f"top_k={top_k} exceeds the engine's exact pool "
+                f"(topk_pool={self.topk_pool}); build the engine with a "
+                f"wider topk_pool instead of silently clamping"
+            )
         ids, prompt_len, padded_len = self._pad_prompt(input_ids)
         key = jax.random.PRNGKey(seed)
         temp = jnp.float32(temperature)
@@ -774,6 +832,7 @@ class SpecEngine:
             max_cycles=self.max_new_tokens, kv_quant=self.kv_quant,
             prefill_chunk=self._resolve_chunk(padded_len), mesh=self.mesh,
             seq_axis=self.seq_axis, attn_impl=self.attn_impl, filters=filters,
+            topk_pool=self.topk_pool,
         )
         state.output_ids.block_until_ready()
         ttft = time.perf_counter() - t0
@@ -790,6 +849,7 @@ class SpecEngine:
             stop_token_ids=self.stop_token_ids, max_cycles=self.max_new_tokens,
             forced_acc=forced_acc, draft_steps=draft_steps, mesh=self.mesh,
             attn_impl=self.attn_impl, filters=filters,
+            topk_pool=self.topk_pool,
         )
         state.output_ids.block_until_ready()
         decode_wall = time.perf_counter() - t1

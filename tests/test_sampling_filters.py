@@ -4,8 +4,10 @@ The reference's serving client sends ``sampling_params = {temperature,
 top_p, top_k, max_new_tokens}`` per request (reference
 benchmark_sglang.py:42-47); SGLang applies the filters server-side.  Here
 the filters run on-device inside the speculative cycle
-(ops/sampling.sample_topk_topp, resolved within a static top-64 candidate
-pool) and per-lane in the continuous-batching engine.
+(ops/sampling.sample_topk_topp, resolved EXACTLY within a static
+``topk_pool`` candidate set — exact partial-reduce + full-vocab-normalized
+nucleus; requests with top_k > topk_pool are rejected, never clamped) and
+per-lane in the continuous-batching engine.
 """
 
 import jax
@@ -16,7 +18,11 @@ import pytest
 from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
 from dflash_tpu.engine.batching import ContinuousBatchingEngine, EngineConfig
 from dflash_tpu.models import dflash_draft, qwen3
-from dflash_tpu.ops.sampling import sample, sample_topk_topp
+from dflash_tpu.ops.sampling import (
+    filtered_logits_topk_topp,
+    sample,
+    sample_topk_topp,
+)
 
 DTYPE = jnp.float32
 
@@ -90,11 +96,87 @@ def test_top_p_keeps_first_token_even_for_tiny_p():
 
 
 def test_top_k_beyond_pool_clamps_not_crashes():
+    """At the SAMPLER level k > pool still clamps (the executable is static);
+    the serving/engine layer is where such requests are rejected loudly."""
     logits = _logits(vocab=256)
     got = sample_topk_topp(
         logits, 1.0, jax.random.PRNGKey(0), jnp.int32(200), jnp.float32(1.0)
     )
     assert 0 <= int(np.asarray(got)[0]) < 256
+
+
+# ---------------------------------------------------------------------------
+# exactness: the pool sampler == a full-sort sampler (VERDICT r2 missing #3)
+# ---------------------------------------------------------------------------
+
+def _full_sort_masked_logits(logits, temp, k, p):
+    """Ground-truth joint top-k/top-p filter via a full-vocab sort: keep
+    rank < k AND full-softmax cumulative-mass-before < p; everything else
+    -inf.  numpy, no pools."""
+    scaled = np.asarray(logits, np.float64) / max(temp, 1e-5)
+    out = np.full_like(scaled, -np.inf, np.float32)
+    V = scaled.shape[-1]
+    k_eff = V if k <= 0 else min(k, V)
+    for b in range(scaled.shape[0]):
+        order = np.argsort(-scaled[b], kind="stable")
+        svals = scaled[b][order]
+        probs = np.exp(svals - (np.max(svals) + np.log(np.sum(np.exp(svals - np.max(svals))))))
+        cum_before = np.cumsum(probs) - probs
+        keep = (np.arange(V) < k_eff) & (cum_before < p)
+        out[b][order[keep]] = scaled[b][order[keep]].astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("top_k", [128, 1024])
+def test_exact_wide_topk_matches_full_sort(top_k):
+    """top_k in (64, pool]: the kept SET equals the full-sort reference's and
+    the sampled token is bit-identical (same key, categorical over the same
+    masked full-vocab logits) — no silent 64-candidate clamp."""
+    pool = 1024
+    logits = _logits(vocab=4096, batch=4, seed=3)
+    temp = 0.8
+    for p in (1.0, 0.98):
+        got_mask = np.asarray(filtered_logits_topk_topp(
+            logits.astype(jnp.float32), jnp.float32(temp), jnp.int32(top_k),
+            jnp.float32(p), pool,
+        ))
+        want_mask = _full_sort_masked_logits(logits, temp, top_k, p)
+        np.testing.assert_array_equal(
+            np.isfinite(got_mask), np.isfinite(want_mask),
+            err_msg=f"keep set differs (top_k={top_k}, p={p})",
+        )
+        keep = np.isfinite(want_mask)
+        np.testing.assert_allclose(
+            got_mask[keep], want_mask[keep], rtol=1e-6, atol=1e-6
+        )
+        # bit-identical sampling: same key, same masked logits
+        key = jax.random.PRNGKey(7)
+        got = sample_topk_topp(
+            logits, temp, key, jnp.int32(top_k), jnp.float32(p), pool=pool
+        )
+        want = jax.random.categorical(key, jnp.asarray(got_mask), axis=-1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_topp_nucleus_normalized_over_full_vocab():
+    """The nucleus mass must be the FULL softmax's, not the pool's: with a
+    flat tail carrying most of the mass, a pool-local softmax would cut the
+    nucleus early; the true-normalized filter keeps the whole pool."""
+    # head of 4 tokens ~27% of mass, flat tail with the rest
+    v = np.full((1, 2048), 0.0, np.float32)
+    v[0, :4] = 5.0
+    masked = np.asarray(filtered_logits_topk_topp(
+        jnp.asarray(v), jnp.float32(1.0), jnp.int32(0), jnp.float32(0.9), 64
+    ))
+    # true cum mass of the top-64 < 0.9 -> every pool candidate is kept
+    assert np.isfinite(masked).sum() == 64
+    # and a peaked head with p=0.9 keeps exactly the head
+    w = np.full((1, 2048), -20.0, np.float32)
+    w[0, :2] = np.asarray([4.0, 3.0])
+    masked = np.asarray(filtered_logits_topk_topp(
+        jnp.asarray(w), jnp.float32(1.0), jnp.int32(0), jnp.float32(0.9), 64
+    ))
+    assert np.isfinite(masked).sum() == 2
 
 
 def test_statistical_frequencies_within_nucleus():
@@ -133,6 +215,18 @@ def _engine(models, **kw):
         prompt_cap=32, prompt_bucket=16, **kw,
     )
     return ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg)
+
+
+def test_submit_rejects_topk_beyond_pool(models):
+    """No silent clamp: a request whose top_k exceeds the engine's exact pool
+    is rejected with a clear error; a wider-pool engine accepts it."""
+    eng = _engine(models, sampling_filters=True)  # default topk_pool=64
+    with pytest.raises(ValueError, match="topk_pool"):
+        eng.submit(np.asarray([5, 6, 7]), temperature=1.0, top_k=100)
+    wide = _engine(models, sampling_filters=True, topk_pool=128)
+    req = wide.submit(np.asarray([5, 6, 7]), temperature=1.0, top_k=100)
+    wide.run_until_drained()
+    assert req.error is None and req.output_ids is not None
 
 
 def test_submit_rejects_filters_without_flag(models):
