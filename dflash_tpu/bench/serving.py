@@ -176,6 +176,12 @@ def main(argv=None) -> None:
     p.add_argument("--stream", action="store_true",
                    help="drive /generate with \"stream\": true and consume the\n"
                         "SSE events (measures the streaming tax)")
+    p.add_argument("--stream-interval", type=int, default=4,
+                   help="engine service cadence for streaming/stop lanes "
+                        "(windows between output readbacks; 1 = every window)")
+    p.add_argument("--admission-chunk", type=int, default=None,
+                   help="chunk-interleaved admission prefill (tokens per "
+                        "chunk); unset = one-dispatch admission prefill")
     p.add_argument("--vocab-size", type=int, default=1000,
                    help="prompt-id range when benchmarking an external --url "
                         "server (must not exceed the served model's vocab)")
@@ -203,6 +209,8 @@ def main(argv=None) -> None:
                 steps_per_sync=args.steps_per_sync,
                 prefix_cache_mb=args.prefix_cache_mb,
                 emulate_tau=args.emulate_tau,
+                stream_interval=args.stream_interval,
+                admission_chunk=args.admission_chunk,
             ),
         )
         server = EngineHTTPServer(

@@ -95,12 +95,24 @@ class EngineConfig:
     # no-ops (top_k<=0 / top_p>=1, or effectively-greedy top_k==1) are still
     # accepted and normalized; anything else is rejected at submit().
     sampling_filters: bool = False
-    # Static candidate pool for the filtered sampler: EXACT for any
-    # top_k <= topk_pool (ops/sampling.py uses an exact partial-reduce +
-    # full-vocab-normalized nucleus); submit() REJECTS top_k > topk_pool —
-    # no silent clamp (a request asking top_k=100 must not quietly get
-    # 64-candidate semantics).  One executable per pool size.
+    # Static candidate pool for the filtered sampler.  The keep set is EXACT
+    # for any accepted top_k/top_p (ops/sampling.py resolves exact value
+    # thresholds; the pool only seeds the threshold guess), but a request
+    # with top_k far beyond the pool forces the bisection loop every cycle —
+    # so submit() REJECTS top_k > topk_pool as a performance guard rather
+    # than serving it slowly or (round-2 behavior) silently clamping it.
+    # One executable per pool size.
     topk_pool: int = 64
+    # Streaming / stop-scan service cadence (SGLang's stream_interval): lanes
+    # with SSE consumers or stop strings materialize the output buffer on the
+    # host every stream_interval-th scheduling window instead of every window
+    # — through a tunneled runtime that readback is the entire streaming tax
+    # (docs/RESULTS.md "Streaming tax": −37% at interval 1).  Chunks arrive
+    # every interval windows (~tens of ms); a stop string is still honored
+    # exactly (the scan sees the same committed tokens, the overshoot is
+    # trimmed), it just force-finishes up to interval−1 windows later.
+    # Finishing/aborted lanes are always serviced immediately.
+    stream_interval: int = 4
     # Chunk-interleaved admission prefill (the serving role of SGLang's
     # chunked prefill, reference benchmark_sglang.py:436-447): a long
     # admission's prompt prefix is prefilled in admission_chunk-token
@@ -286,6 +298,7 @@ class ContinuousBatchingEngine:
         # guard against retiring a freshly admitted request with a peek taken
         # before its admission.
         self._peek_pending: Optional[tuple] = None
+        self._window_count = 0  # harvested windows (stream_interval cadence)
         self._lane_epoch = np.zeros((R,), np.int64)
         self._last_start_host: Optional[np.ndarray] = None
         self._rid = itertools.count()
@@ -538,6 +551,14 @@ class ContinuousBatchingEngine:
         start = np.asarray(start_d)
         done = np.asarray(done_d)
         fresh = epochs == self._lane_epoch
+        # Streaming/stop lanes materialize the output buffer only every
+        # stream_interval-th window (cfg comment; the readback IS the
+        # streaming tax through a tunneled runtime).  Finishing and aborted
+        # lanes are always serviced.
+        self._window_count += 1
+        service_window = (
+            self._window_count % max(1, self.cfg.stream_interval) == 0
+        )
         # _pick_window reads these; a stale (pre-re-admission) row would make
         # the adaptive window think the NEW request is nearly done
         if self._last_start_host is None:
@@ -550,8 +571,13 @@ class ContinuousBatchingEngine:
             if req is None or not fresh[lane]:
                 continue
             finished = bool(done[lane] or start[lane] >= self._lane_max_length[lane])
-            needs_scan = bool(req.stop_strings or req.stream_queue is not None)
             aborted = req.rid in self._aborted
+            # a finishing/aborted lane ALWAYS gets its final scan (a stop
+            # string committed in the last window must still truncate)
+            needs_scan = bool(
+                (req.stop_strings or req.stream_queue is not None)
+                and (service_window or finished or aborted)
+            )
             if not (finished or needs_scan or aborted):
                 continue
             if out_h is None:

@@ -410,6 +410,9 @@ def main(argv=None) -> None:
     p.add_argument("--prefix-cache-mb", type=int, default=0,
                    help="prompt-prefix cache budget (SGLang radix-cache "
                         "equivalent); 0 disables")
+    p.add_argument("--stream-interval", type=int, default=4,
+                   help="service cadence for streaming/stop lanes (windows "
+                        "between output readbacks; 1 = every window)")
     p.add_argument("--admission-chunk", type=int, default=None,
                    help="chunk-interleaved admission prefill: long prompts "
                         "prefill in this many tokens per decode window "
@@ -442,6 +445,7 @@ def main(argv=None) -> None:
         sampling_filters=args.sampling_filters,
         topk_pool=args.topk_pool,
         admission_chunk=args.admission_chunk,
+        stream_interval=args.stream_interval,
     )
     if args.buckets:
         rungs = [

@@ -159,24 +159,52 @@ def test_exact_wide_topk_matches_full_sort(top_k):
 
 
 def test_topp_nucleus_normalized_over_full_vocab():
-    """The nucleus mass must be the FULL softmax's, not the pool's: with a
-    flat tail carrying most of the mass, a pool-local softmax would cut the
-    nucleus early; the true-normalized filter keeps the whole pool."""
-    # head of 4 tokens ~27% of mass, flat tail with the rest
-    v = np.full((1, 2048), 0.0, np.float32)
-    v[0, :4] = 5.0
+    """The nucleus mass must be the FULL softmax's, and the nucleus must be
+    allowed to extend PAST the candidate pool (the round-2 pool-truncation
+    limitation is gone): with a light head and a long distinct tail, the true
+    p=0.9 nucleus spans hundreds of tokens and the filter keeps exactly
+    those."""
+    rng = np.random.default_rng(0)
+    v = (rng.normal(size=(1, 2048)) * 0.01).astype(np.float32)  # distinct
+    v[0, :4] += 5.0
     masked = np.asarray(filtered_logits_topk_topp(
         jnp.asarray(v), jnp.float32(1.0), jnp.int32(0), jnp.float32(0.9), 64
     ))
-    # true cum mass of the top-64 < 0.9 -> every pool candidate is kept
-    assert np.isfinite(masked).sum() == 64
+    want = _full_sort_masked_logits(v, 1.0, 0, 0.9)
+    kept = int(np.isfinite(want).sum())
+    assert kept > 64, "test needs a nucleus wider than the pool"
+    np.testing.assert_array_equal(np.isfinite(masked), np.isfinite(want))
     # and a peaked head with p=0.9 keeps exactly the head
     w = np.full((1, 2048), -20.0, np.float32)
+    w += (rng.normal(size=(1, 2048)) * 0.01).astype(np.float32)
     w[0, :2] = np.asarray([4.0, 3.0])
     masked = np.asarray(filtered_logits_topk_topp(
         jnp.asarray(w), jnp.float32(1.0), jnp.int32(0), jnp.float32(0.9), 64
     ))
     assert np.isfinite(masked).sum() == 2
+
+
+def test_exact_thresholds_tie_handling():
+    """Value ties straddling rank k keep ALL tied tokens (documented)."""
+    v = np.full((1, 512), -10.0, np.float32)
+    v[0, :8] = 2.0  # eight-way tie at the top
+    masked = np.asarray(filtered_logits_topk_topp(
+        jnp.asarray(v), jnp.float32(1.0), jnp.int32(4), jnp.float32(1.0), 64
+    ))
+    assert np.isfinite(masked[0, :8]).all()
+    assert not np.isfinite(masked[0, 8:]).any()
+
+
+def test_exact_topk_deep_rank_forces_bisection():
+    """top_k far beyond the pool's reach (pool=8, k=100): the threshold
+    bisection must still land the exact keep set."""
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(2, 4096)).astype(np.float32) * 3.0
+    masked = np.asarray(filtered_logits_topk_topp(
+        jnp.asarray(v), jnp.float32(1.0), jnp.int32(100), jnp.float32(1.0), 8
+    ))
+    want = _full_sort_masked_logits(v, 1.0, 100, 1.0)
+    np.testing.assert_array_equal(np.isfinite(masked), np.isfinite(want))
 
 
 def test_statistical_frequencies_within_nucleus():

@@ -284,3 +284,48 @@ def test_http_streaming_sse(server):
         "sampling_params": {"max_new_tokens": 16},
     }))
     assert final["output_ids"] == base["output_ids"]
+
+
+def test_stream_interval_batches_pushes(models):
+    """stream_interval > 1: streamed chunks arrive every Nth scheduling
+    window (fewer, larger pushes), and the concatenation is unchanged."""
+    eng1 = _engine(models, max_new_tokens=16, stream_interval=1)
+    a = eng1.submit(PROMPT, stream=True)
+    eng1.run_until_drained()
+    chunks1 = []
+    while not a.stream_queue.empty():
+        chunks1.append(a.stream_queue.get_nowait())
+
+    eng4 = _engine(models, max_new_tokens=16, stream_interval=4)
+    b = eng4.submit(PROMPT, stream=True)
+    eng4.run_until_drained()
+    chunks4 = []
+    while not b.stream_queue.empty():
+        chunks4.append(b.stream_queue.get_nowait())
+
+    flat1 = [t for c in chunks1 for t in c["token_ids"]]
+    flat4 = [t for c in chunks4 for t in c["token_ids"]]
+    assert flat1 == flat4, "interval must not change the streamed tokens"
+    assert len(chunks4) < len(chunks1), (len(chunks4), len(chunks1))
+
+
+def test_stream_interval_stop_still_exact(models):
+    """A stop string is honored exactly at any scan cadence — the overshoot
+    windows are trimmed before the result surfaces."""
+    tcfg = models[0]
+    tok = SyntheticTokenizer(tcfg.vocab_size)
+    base_eng = _engine(models, tokenizer=tok, stream_interval=1)
+    base = base_eng.submit(PROMPT)
+    base_eng.run_until_drained()
+    gen = base.output_ids[0, 4:]
+    stop_text = tok.decode(gen[3:4])
+
+    outs = []
+    for interval in (1, 3, 7):
+        eng = _engine(models, tokenizer=tok, stream_interval=interval)
+        r = eng.submit(PROMPT, stop=[stop_text])
+        eng.run_until_drained()
+        assert r.meta_info["finish_reason"]["type"] == "stop"
+        outs.append(r.output_ids)
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
