@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ewma-alpha", type=float, default=0.35)
     p.add_argument("--switch-margin", type=float, default=0.08)
     p.add_argument("--probe-interval", type=int, default=24)
+    p.add_argument("--policy-window", type=int, default=8,
+                   help="steady-state cycles per jitted policy dispatch: the "
+                        "host sync that made dynamic 0.66x of fixed amortizes "
+                        "over the window (warmup/probe cycles still dispatch "
+                        "singly); 1 = reference-faithful per-cycle sync")
     return p
 
 
@@ -414,7 +419,8 @@ def main(argv=None) -> None:
             if args.scheduler_mode == "fixed":
                 policy_generate(engine, w_ids, fixed_block_size=block_size,
                                 temperature=args.temperature,
-                                forced_acc_by_bs=w_forced_by_bs)
+                                forced_acc_by_bs=w_forced_by_bs,
+                                window=args.policy_window)
             else:
                 wsched = EWMAScheduler(SchedulerConfig(
                     candidates=tuple(candidates), mode=args.scheduler_mode,
@@ -422,7 +428,8 @@ def main(argv=None) -> None:
                 ))
                 policy_generate(engine, w_ids, scheduler=wsched,
                                 temperature=args.temperature,
-                                forced_acc_by_bs=w_forced_by_bs)
+                                forced_acc_by_bs=w_forced_by_bs,
+                                window=args.policy_window)
         elif args.collect_profile:
             from dflash_tpu.spec.profiled import profiled_generate
 
@@ -504,6 +511,7 @@ def main(argv=None) -> None:
                     fixed_block_size=fixed_bs,
                     temperature=args.temperature, collect_trace=True,
                     forced_acc_by_bs=forced_by_bs,
+                    window=args.policy_window,
                 )
                 spec = SimpleNamespace(**spec_r._asdict(), profile_summary=None,
                                        cycle_trace=trace, used_block_sizes=used,

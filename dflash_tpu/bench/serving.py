@@ -84,6 +84,8 @@ def run_bench_requests(
     max_new_tokens: int,
     temperature: float = 0.0,
     stream: bool = False,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> BenchMetrics:
     def one(ids):
         payload = {
@@ -91,6 +93,8 @@ def run_bench_requests(
             "sampling_params": {
                 "max_new_tokens": max_new_tokens,
                 "temperature": temperature,
+                "top_k": top_k,
+                "top_p": top_p,
             },
         }
         if stream:
@@ -176,6 +180,14 @@ def main(argv=None) -> None:
     p.add_argument("--stream", action="store_true",
                    help="drive /generate with \"stream\": true and consume the\n"
                         "SSE events (measures the streaming tax)")
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=0,
+                   help="per-request top_k (needs --sampling-filters)")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="per-request top_p (needs --sampling-filters)")
+    p.add_argument("--sampling-filters", action="store_true",
+                   help="build the engine with the exact filtered sampler")
+    p.add_argument("--topk-pool", type=int, default=64)
     p.add_argument("--stream-interval", type=int, default=4,
                    help="engine service cadence for streaming/stop lanes "
                         "(windows between output readbacks; 1 = every window)")
@@ -211,6 +223,9 @@ def main(argv=None) -> None:
                 emulate_tau=args.emulate_tau,
                 stream_interval=args.stream_interval,
                 admission_chunk=args.admission_chunk,
+                temperature=args.temperature,
+                sampling_filters=args.sampling_filters,
+                topk_pool=args.topk_pool,
             ),
         )
         server = EngineHTTPServer(
@@ -246,11 +261,14 @@ def main(argv=None) -> None:
     try:
         # warmup (compiles the lane executables)
         run_bench_requests(url, prompts[:2], 2, args.max_new_tokens,
-                           stream=args.stream)
+                           temperature=args.temperature, stream=args.stream,
+                           top_k=args.top_k, top_p=args.top_p)
         for conc in (int(c) for c in args.concurrencies.split(",")):
             _flush(url)
             m = run_bench_requests(url, prompts, conc, args.max_new_tokens,
-                                   stream=args.stream)
+                                   temperature=args.temperature,
+                                   stream=args.stream,
+                                   top_k=args.top_k, top_p=args.top_p)
             if m.spec_verify_ct_sum <= 0:
                 raise RuntimeError("speculative decoding did not run (verify_ct == 0)")
             print(f"[serving] conc={conc}: {m.tokens_per_sec:.1f} tok/s, "

@@ -32,6 +32,59 @@ class PolicyResult(GenerationResult):
     pass
 
 
+def _window_impl(
+    state,
+    t_params,
+    d_params,
+    temperature,
+    max_length,
+    forced_acc,
+    *,
+    tcfg,
+    dcfg,
+    block_size: int,
+    stop_token_ids,
+    ctx_window: int,
+    n_steps: int,
+    max_cycles: int,
+):
+    """Up to ``n_steps`` policy cycles at ONE block size in ONE dispatch,
+    returning the per-cycle (tau, l_gen) traces the host scheduler consumes.
+
+    The round-2 policy path synced host<->device every cycle (~90 ms tunnel
+    RTT vs ~10 ms cycle -> dynamic ran at 0.66x of fixed); windowing
+    amortizes that sync over n_steps cycles while the EWMA state machine
+    stays host-side and unchanged — it is fed the window's per-cycle tau
+    trace, with the wall clock amortized across the window's cycles."""
+    taus0 = jnp.zeros((n_steps,), jnp.int32)
+    lgens0 = jnp.zeros((n_steps,), jnp.float32)
+
+    def cond(c):
+        st, taus, lgens, i = c
+        return (
+            (i < n_steps)
+            & (~st.done)
+            & (st.start < max_length)
+            & (st.cycle_idx < max_cycles)
+        )
+
+    def body(c):
+        st, taus, lgens, i = c
+        st2, aux = _cycle(
+            st, t_params, d_params, temperature,
+            tcfg=tcfg, dcfg=dcfg, block_size=block_size,
+            stop_token_ids=stop_token_ids, ctx_window=ctx_window,
+            draft_temperature=temperature, with_aux=True,
+            forced_acc=forced_acc,
+        )
+        return st2, taus.at[i].set(aux.tau), lgens.at[i].set(aux.l_gen), i + 1
+
+    st, taus, lgens, n_ran = jax.lax.while_loop(
+        cond, body, (state, taus0, lgens0, jnp.int32(0))
+    )
+    return st, taus, lgens, n_ran
+
+
 def policy_generate(
     engine: SpecEngine,
     input_ids: np.ndarray,
@@ -42,6 +95,7 @@ def policy_generate(
     seed: int = 0,
     collect_trace: bool = False,
     forced_acc_by_bs: Optional[dict] = None,
+    window: int = 1,
 ):
     """Generate with a per-cycle block-size policy.
 
@@ -54,6 +108,13 @@ def policy_generate(
     tau must DEPEND on the block size (reference block-sweep tau curve,
     results.md:9-16), otherwise the scheduler would trivially pick the
     smallest block (same tau, cheaper cycle) and the study measures nothing.
+
+    ``window`` > 1 runs steady-state cycles in jitted multi-cycle windows
+    (one dispatch per window at the current block size) and feeds the
+    scheduler the window's per-cycle tau/l_gen trace with the wall clock
+    amortized across its cycles; warmup and probe cycles still dispatch
+    singly so the reference probing pattern is preserved.  window=1 is the
+    reference-faithful per-cycle sync.
     """
     if scheduler is None and fixed_block_size is None:
         raise ValueError("either scheduler or fixed_block_size is required")
@@ -80,6 +141,22 @@ def policy_generate(
         )
         for bs in candidates
     }
+    window = max(1, int(window))
+    window_fns = {
+        bs: jax.jit(
+            partial(
+                _window_impl,
+                tcfg=engine.tcfg,
+                dcfg=engine.dcfg,
+                block_size=bs,
+                stop_token_ids=engine.stop_token_ids,
+                ctx_window=max_block,
+                n_steps=window,
+                max_cycles=engine.max_new_tokens,
+            )
+        )
+        for bs in candidates
+    } if window > 1 else None
 
     forced_jnp = None
     if forced_acc_by_bs is not None:
@@ -113,12 +190,40 @@ def policy_generate(
     done = False
     decode_t0 = time.perf_counter()
 
+    def steady_span(idx: int) -> int:
+        """Cycles from ``idx`` until the next warmup/probe boundary — a
+        window is dispatched only when it fits entirely inside steady state,
+        so the reference probing pattern is preserved exactly."""
+        if scheduler is None:
+            return 10 ** 9
+        cfg = scheduler.cfg
+        if idx < cfg.warmup_cycles:
+            return 0
+        if cfg.probe_interval > 0:
+            r = (idx - cfg.warmup_cycles) % cfg.probe_interval
+            return cfg.probe_interval - r if r else 0
+        return 10 ** 9
+
     while start < max_length and not done and cycle_idx < engine.max_new_tokens:
         bs = (
             fixed_block_size
             if scheduler is None
             else scheduler.select(cycle_idx)
         )
+        # Effective-block clamp near max_length (reference benchmark.py:
+        # 104-105): with the budget nearly spent, drop to the largest
+        # candidate that fits so the last cycle doesn't draft/verify tokens
+        # the trim will discard.  Free here — every candidate's executable
+        # already exists; the fused core loop deliberately overshoots+trims
+        # instead (a bucketed last cycle costs extra dispatches, docs/
+        # PARITY.md).
+        if scheduler is not None:
+            remaining = max_length - start
+            fit = [b for b in candidates if b <= remaining]
+            if fit and bs > fit[-1]:
+                bs = fit[-1]
+        fa = forced_jnp[bs] if forced_jnp is not None else None
+        use_window = window_fns is not None and steady_span(cycle_idx) >= window
         c0 = time.perf_counter()
         # draft_temperature=temp is reference-faithful for THIS harness: the
         # dynamic-schedule path samples the draft at temperature (reference
@@ -126,45 +231,57 @@ def policy_generate(
         # greedily (benchmark.py:140).  At T>0 this path therefore diverges
         # from engine.generate by design — compare policy runs only against
         # other policy runs (e.g. --scheduler-mode fixed).
-        if forced_jnp is not None:
-            state, aux = cycle_fns[bs](
+        if use_window:
+            state, taus_d, lgens_d, n_ran_d = window_fns[bs](
                 state, engine.t_params, engine.d_params, temp,
-                draft_temperature=temp, forced_acc=forced_jnp[bs],
+                jnp.int32(max_length), fa,
             )
+            n_ran = int(n_ran_d)
+            wall = time.perf_counter() - c0
+            taus = np.asarray(taus_d)[:n_ran]
+            lgens = np.asarray(lgens_d)[:n_ran]
+            obs = [(int(t), float(g)) for t, g in zip(taus, lgens)]
+            per_cycle_s = wall / max(1, n_ran)
         else:
             state, aux = cycle_fns[bs](
                 state, engine.t_params, engine.d_params, temp,
-                draft_temperature=temp,
+                draft_temperature=temp, forced_acc=fa,
             )
-        tau = int(aux.tau)  # device sync — intentional (time-fed policy)
-        cycle_s = time.perf_counter() - c0
-        l_gen = float(aux.l_gen)
-        start = start + tau
+            tau = int(aux.tau)  # device sync — intentional (time-fed policy)
+            per_cycle_s = time.perf_counter() - c0
+            obs = [(tau, float(aux.l_gen))]
+            n_ran = 1
         done = bool(state.done)
 
-        if scheduler is not None:
-            scheduler.update(
-                tau=tau, cycle_s=cycle_s, effective_bs=bs,
-                cycle_idx=cycle_idx, l_gen=l_gen,
-            )
-        acceptance_lengths.append(tau)
-        used_block_sizes.append(bs)
-        if collect_trace:
-            snap = scheduler.snapshot() if scheduler is not None else {}
-            cycle_trace.append(
-                {
-                    "cycle_idx": cycle_idx,
-                    "start_idx": int(start - tau),
-                    "block_size": int(bs),
-                    "tau": tau,
-                    "l_gen": l_gen,
-                    "acceptance_ratio": tau / max(1, bs),
-                    "cycle_s": cycle_s,
-                    "current_block_size": snap.get("current"),
-                    "score_hat": (snap.get("score_hat") or {}).get(bs),
-                }
-            )
-        cycle_idx += 1
+        for tau, l_gen in obs:
+            start = start + tau
+            if scheduler is not None:
+                scheduler.update(
+                    tau=tau, cycle_s=per_cycle_s, effective_bs=bs,
+                    cycle_idx=cycle_idx, l_gen=l_gen,
+                )
+            acceptance_lengths.append(tau)
+            used_block_sizes.append(bs)
+            if collect_trace:
+                snap = scheduler.snapshot() if scheduler is not None else {}
+                cycle_trace.append(
+                    {
+                        "cycle_idx": cycle_idx,
+                        "start_idx": int(start - tau),
+                        "block_size": int(bs),
+                        "tau": tau,
+                        "l_gen": l_gen,
+                        "acceptance_ratio": tau / max(1, bs),
+                        "cycle_s": per_cycle_s,
+                        "current_block_size": snap.get("current"),
+                        "score_hat": (snap.get("score_hat") or {}).get(bs),
+                    }
+                )
+            cycle_idx += 1
+            # a mid-window switch decision applies from the NEXT dispatch;
+            # stop attributing cycles to this window once the scheduler
+            # would no longer have chosen bs (equivalence is at window
+            # granularity — documented)
 
     decode_wall = time.perf_counter() - decode_t0
     out = np.asarray(state.output_ids)

@@ -6,7 +6,7 @@
 #   MODEL   preset or checkpoint dir        (default: tiny)
 #   DRAFT   checkpoint dir or auto:<layers> (default: auto:1)
 #   FAST    1 => 256 new tokens, 8 samples, math-only task list
-#   TASKS   space-separated dataset names   (default: full 10-task list)
+#   TASKS   space-separated dataset names   (default: full 11-task list)
 #   BLOCK_SIZE, MAX_NEW_TOKENS, MAX_SAMPLES, TEMPERATURE, EXTRA_ARGS
 #   OUT_DIR output directory                (default: results/)
 set -euo pipefail
@@ -23,7 +23,7 @@ if [[ "$FAST" == "1" ]]; then
   MAX_NEW_TOKENS=${MAX_NEW_TOKENS:-256}
   MAX_SAMPLES=${MAX_SAMPLES:-8}
 else
-  TASKS=${TASKS:-"gsm8k math500 aime24 aime25 alpaca mt-bench humaneval mbpp lbpp livecodebench"}
+  TASKS=${TASKS:-"gsm8k math500 aime24 aime25 alpaca mt-bench humaneval mbpp lbpp livecodebench swe-bench"}
   MAX_NEW_TOKENS=${MAX_NEW_TOKENS:-2048}
   MAX_SAMPLES=${MAX_SAMPLES:-30}
 fi

@@ -144,3 +144,86 @@ def test_policy_decode_matches_ar_greedy():
     assert set(used) <= {4, 8}
     assert len(used) == len(res.acceptance_lengths)
     assert snap["current"] in (4, 8)
+
+
+def _tiny_policy_engine(max_new=20, num_layers=2):
+    import jax
+    import jax.numpy as jnp
+    from dflash_tpu.core.config import tiny_draft_config, tiny_target_config
+    from dflash_tpu.models import dflash_draft, qwen3
+    from dflash_tpu.spec.engine import SpecEngine
+
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=8, num_layers=num_layers)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    return SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=max_new,
+        block_size=8, prompt_cap=32, prompt_bucket=16,
+    )
+
+
+def test_windowed_policy_matches_per_cycle_tokens():
+    """window > 1 batches steady-state cycles into one dispatch; at greedy
+    temperature the tokens must equal the per-cycle path's exactly (and the
+    AR oracle's, by transitivity with test_policy_decode_matches_ar_greedy)."""
+    from dflash_tpu.spec.policy import policy_generate
+
+    engine = _tiny_policy_engine()
+    prompt = np.asarray([[3, 4, 5, 6]])
+    for fixed_bs in (4, 8):
+        r1, _, _, _ = policy_generate(
+            engine, prompt, fixed_block_size=fixed_bs, temperature=0.0,
+            window=1,
+        )
+        r4, _, _, _ = policy_generate(
+            engine, prompt, fixed_block_size=fixed_bs, temperature=0.0,
+            window=4,
+        )
+        np.testing.assert_array_equal(r1.output_ids, r4.output_ids)
+        assert r1.acceptance_lengths == r4.acceptance_lengths
+
+
+def test_windowed_policy_preserves_probe_pattern():
+    """Warmup round-robin and periodic probes still dispatch singly at the
+    reference cycle indices; only steady-state stretches batch."""
+    from dflash_tpu.spec.policy import policy_generate
+
+    engine = _tiny_policy_engine(max_new=24)
+    prompt = np.asarray([[3, 4, 5, 6]])
+    n = engine.max_new_tokens
+    forced = {4: np.full((n,), 2, np.int32), 8: np.full((n,), 5, np.int32)}
+    sched = EWMAScheduler(SchedulerConfig(
+        candidates=(4, 8), warmup_cycles=2, probe_interval=3,
+    ))
+    res, used, trace, snap = policy_generate(
+        engine, prompt, scheduler=sched, temperature=0.0,
+        forced_acc_by_bs=forced, window=4,
+    )
+    # warmup: round-robin both candidates at cycles 0..1
+    assert used[:2] == [4, 8]
+    # forced tau still follows the block size actually used, windowed or not
+    for tau, bs in zip(res.acceptance_lengths, used):
+        assert tau == int(forced[bs][0]) + 1, (tau, bs)
+    # probes fire: some cycle after warmup uses the non-current size
+    assert sched.obs_count[4] > 0 and sched.obs_count[8] > 0
+
+
+def test_windowed_policy_scheduler_converges_to_best():
+    """Under a bs-dependent forced tau that makes bs=8 clearly better, the
+    windowed scheduler still converges to it."""
+    from dflash_tpu.spec.policy import policy_generate
+
+    engine = _tiny_policy_engine(max_new=32, num_layers=1)
+    prompt = np.asarray([[3, 4, 5, 6]])
+    n = engine.max_new_tokens
+    forced = {4: np.full((n,), 1, np.int32), 8: np.full((n,), 7, np.int32)}
+    sched = EWMAScheduler(SchedulerConfig(
+        candidates=(4, 8), warmup_cycles=2, probe_interval=0,
+        required_streak=1, cooldown_cycles=0,
+    ))
+    policy_generate(
+        engine, prompt, scheduler=sched, temperature=0.0,
+        forced_acc_by_bs=forced, window=4,
+    )
+    assert sched.current == 8, sched.snapshot()
