@@ -565,6 +565,7 @@ def forward_block_candidates(
     ctx_len: jax.Array,  # scalar int32 frontier (valid ctx rows < ctx_len)
     tap_ids: Tuple[int, ...] = (),
     mesh=None,
+    blk_mask: Optional[jax.Array] = None,  # [B, B] row-attendability override
 ) -> CandidateForwardResult:
     """Verify C candidate blocks in one batched forward over a SHARED context.
 
@@ -575,7 +576,12 @@ def forward_block_candidates(
     commit the winning candidate's rows into the main cache.
 
     Attention per query i of candidate c: all ctx rows < ctx_len plus block
-    rows j <= i of candidate c (causal within the block).
+    rows j <= i of candidate c (causal within the block).  ``blk_mask``
+    overrides the within-block causal mask — the shared-prefix candidate
+    verify (spec/candidates.py) flattens C candidate blocks into one C=1 row
+    set [1, p + C*(B-p)] whose mask encodes "suffix rows attend the shared
+    prefix plus their own candidate's earlier suffix rows", so the p-token
+    common prefix is computed once instead of C times.
     """
     C, B, H = embeds.shape
     nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -584,9 +590,11 @@ def forward_block_candidates(
     cos, sin = rope_cos_sin(positions, d, cfg.rope_theta, cfg.rope_scaling)
 
     ctx_mask = jnp.arange(T, dtype=jnp.int32)[None, :] < ctx_len  # [1, T]
-    blk_mask = (
-        jnp.arange(B, dtype=jnp.int32)[None, :] <= jnp.arange(B, dtype=jnp.int32)[:, None]
-    )  # [B, B]
+    if blk_mask is None:
+        blk_mask = (
+            jnp.arange(B, dtype=jnp.int32)[None, :]
+            <= jnp.arange(B, dtype=jnp.int32)[:, None]
+        )  # [B, B]
 
     lp = params["layers"]
     L = cfg.num_hidden_layers

@@ -402,6 +402,33 @@ def sample_topk_topp(
     ).astype(jnp.int32)
 
 
+def topk_desc(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-``n`` (values, indices) of ``x`` [..., V] in descending
+    order — ``n`` sequential argmax passes instead of a sort.
+
+    Bit-identical to ``jax.lax.top_k`` including tie order (argmax returns
+    the lowest index of the maximum; masking it out makes the next pass
+    return the next-lowest, which is exactly lax.top_k's stable tie-break).
+    For the small static ``n`` of the candidate builders (rank_top_k <= 8)
+    this is n linear passes over the row — the TPU sort that lax.top_k
+    lowers to was measured as the dominant candidate-cycle overhead at a
+    151k vocab (docs/RESULTS.md "Exact sampling filters" pins the same
+    lesson for the sampler).
+    """
+    x = x.astype(jnp.float32)
+    V = x.shape[-1]
+    n = min(n, V)
+    iota = jnp.arange(V, dtype=jnp.int32)
+    vals, idxs = [], []
+    for _ in range(n):
+        i = jnp.argmax(x, axis=-1)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        x = jnp.where(iota == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def acceptance_length(draft_tokens: jax.Array, posterior: jax.Array) -> jax.Array:
     """Longest accepted prefix length.
 

@@ -40,7 +40,7 @@ import numpy as np
 
 from dflash_tpu.core.config import DraftConfig, ModelConfig
 from dflash_tpu.models import dflash_draft, qwen3
-from dflash_tpu.ops.sampling import acceptance_length, sample
+from dflash_tpu.ops.sampling import acceptance_length, sample, topk_desc
 from dflash_tpu.spec.engine import (
     GenerationResult,
     LoopState,
@@ -66,6 +66,17 @@ class CandidateConfig(NamedTuple):
     adaptive_accept_thresholds: Tuple[float, float] = (0.75, 0.45)  # high, mid
     adaptive_warmup_cycles: int = 4
     adaptive_probe_interval: int = 32
+    # Shared-prefix verify: every builder keeps candidate positions < p
+    # identical (p = fixed_prefix_len for the rank modes, 1 for branch_beam),
+    # so the [C, B] verify recomputes those p rows C-fold.  When True the
+    # verify runs on a flattened [1, p + C*(B-p)] row set whose attention
+    # mask routes each candidate's suffix rows to the SHARED prefix rows —
+    # p*(C-1) fewer rows through every matmul, attention, lm_head and
+    # posterior sample per cycle.  Token-identical at greedy; at T > 0 the
+    # shared prefix rows share ONE posterior sample across candidates
+    # (self-consistent — the unflattened path drew C independent samples of
+    # the same distribution for identical rows).
+    shared_prefix: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +102,9 @@ def build_fixed_prefix_rank(
     n_rank = min(C, cc.rank_top_k, V)
 
     suffix_logits = draft_logits[0, suffix_start - 1 :, :]  # [S, V]
-    topv, topi = jax.lax.top_k(suffix_logits.astype(jnp.float32), n_rank)  # [S, n_rank]
+    # exact top-n_rank without the vocab-wide sort lax.top_k lowers to (the
+    # sort was the dominant candidate-cycle overhead at a 151k vocab)
+    topv, topi = topk_desc(suffix_logits, n_rank)  # [S, n_rank]
     cand = jnp.broadcast_to(block, (C, B))
     ranks = jnp.minimum(jnp.arange(C), n_rank - 1)  # pad ranks clamp to last
     suffix_tokens = topi.T[ranks]  # [C, S]
@@ -122,13 +135,15 @@ def build_uncertainty_sparse_rank(
         return base, jnp.where(jnp.arange(C) == 0, 0.0, _NEG)
 
     suffix_logits = draft_logits[0, suffix_start - 1 :, :].astype(jnp.float32)  # [S, V]
-    topv, topi = jax.lax.top_k(suffix_logits, rank_k)  # [S, rank_k]
+    topv, topi = topk_desc(suffix_logits, rank_k)  # [S, rank_k]
     uncertainty = -(topv[:, 0] - topv[:, 1])  # higher = more uncertain
 
     keep = jnp.ones((S,), bool)
     if cc.margin_threshold >= 0:
-        probs = jax.nn.softmax(suffix_logits, axis=-1)
-        p2 = jax.lax.top_k(probs, 2)[0]
+        # top-2 probabilities from the already-extracted top-2 logits (the
+        # softmax denominator is a full-row LSE; no second vocab pass)
+        lse = jax.nn.logsumexp(suffix_logits, axis=-1)
+        p2 = jnp.exp(topv[:, :2] - lse[:, None])
         keep = (p2[:, 0] - p2[:, 1]) <= cc.margin_threshold
 
     m = min(cc.sparse_max_positions, S)
@@ -188,12 +203,13 @@ def build_branch_beam(
     if k ** d > 4096:
         raise ValueError(f"branch space {k}**{d} too large; reduce depth/top-k")
 
-    logp = jax.nn.log_softmax(draft_logits[0, :d, :].astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(logp, k)  # [d, k]
+    head_logits = draft_logits[0, :d, :].astype(jnp.float32)
+    raw_topv, topi = topk_desc(head_logits, k)  # [d, k]
+    lse = jax.nn.logsumexp(head_logits, axis=-1)
+    topv = raw_topv - lse[:, None]  # log-probs of the top-k tokens
 
     if cc.margin_threshold >= 0:
-        probs = jax.nn.softmax(draft_logits[0, :d, :].astype(jnp.float32), axis=-1)
-        p2 = jax.lax.top_k(probs, 2)[0]
+        p2 = jnp.exp(topv[:, :2])
         selected = (p2[:, 0] - p2[:, 1]) <= cc.margin_threshold  # [d]
         # Unselected positions may only use their greedy option.
         opt_ok = jnp.arange(k)[None, :] == 0
@@ -306,12 +322,50 @@ def _candidate_cycle(
     scores = jnp.where(in_budget, scores, _NEG)
 
     # batched verify over the shared context
-    v_embeds = qwen3.embed(t_params, cand)  # [C, B, H]
-    res = qwen3.forward_block_candidates(
-        t_params, tcfg, v_embeds, jnp.broadcast_to(block_positions, (C, B)),
-        state.t_kv, start, tap_ids=dcfg.target_layer_ids,
-    )
-    posterior_all = sample(qwen3.lm_head(t_params, res.hidden), temperature, k_post)  # [C, B]
+    use_flat = cc.shared_prefix and C > 1 and B > 1
+    if use_flat:
+        # Shared-prefix flattened verify: all builders keep positions < p_sh
+        # identical across candidates, so those rows' K/V, hidden, logits and
+        # posterior are candidate-independent — compute them ONCE.  Rows =
+        # [p_sh shared prefix | C x (B - p_sh) per-candidate suffixes]; the
+        # row mask sends suffix rows to {shared prefix} + {own candidate's
+        # earlier suffix rows}, exactly the attention set of the [C, B]
+        # layout.  p_sh*(C-1) fewer rows through every layer + lm_head.
+        p_sh = 1 if cc.mode == "branch_beam" else max(1, min(cc.fixed_prefix_len, B - 1))
+        S = B - p_sh
+        R = p_sh + C * S
+        flat = jnp.concatenate([cand[0, :p_sh], cand[:, p_sh:].reshape(-1)])[None]
+        ri = jnp.arange(R, dtype=jnp.int32)
+        is_pre = ri < p_sh
+        cand_of = jnp.where(is_pre, -1, (ri - p_sh) // S)
+        pos_in_blk = jnp.where(is_pre, ri, p_sh + (ri - p_sh) % S)
+        row_mask = (pos_in_blk[None, :] <= pos_in_blk[:, None]) & (
+            is_pre[None, :] | (cand_of[None, :] == cand_of[:, None])
+        )
+        v_embeds = qwen3.embed(t_params, flat)  # [1, R, H]
+        res = qwen3.forward_block_candidates(
+            t_params, tcfg, v_embeds, start + pos_in_blk[None, :],
+            state.t_kv, start, tap_ids=dcfg.target_layer_ids, blk_mask=row_mask,
+        )
+        post_flat = sample(
+            qwen3.lm_head(t_params, res.hidden), temperature, k_post
+        )  # [1, R]
+        posterior_all = jnp.concatenate(
+            [
+                jnp.broadcast_to(post_flat[0, :p_sh], (C, p_sh)),
+                post_flat[0, p_sh:].reshape(C, S),
+            ],
+            axis=1,
+        )  # [C, B]
+    else:
+        v_embeds = qwen3.embed(t_params, cand)  # [C, B, H]
+        res = qwen3.forward_block_candidates(
+            t_params, tcfg, v_embeds, jnp.broadcast_to(block_positions, (C, B)),
+            state.t_kv, start, tap_ids=dcfg.target_layer_ids,
+        )
+        posterior_all = sample(
+            qwen3.lm_head(t_params, res.hidden), temperature, k_post
+        )  # [C, B]
     acc_all = acceptance_length(cand[:, 1:], posterior_all)  # [C]
 
     # lexicographic winner: tau desc, draft score desc, index asc — staged
@@ -356,14 +410,34 @@ def _candidate_cycle(
     # update_any quantizes on write when the cache is int8
     from dflash_tpu.cache.kv import update_any
 
-    blk_k = res.blk_k[:, winner]  # [L, B, n_kv, d]
-    blk_v = res.blk_v[:, winner]
+    if use_flat:
+        # winner rows = shared prefix rows + the winner's suffix span
+        suf0 = p_sh + winner * S
+
+        def win_rows(x):  # [L, 1, R, n_kv, d] -> [L, B, n_kv, d]
+            x0 = x[:, 0]
+            suf = jax.lax.dynamic_slice_in_dim(x0, suf0, S, axis=1)
+            return jnp.concatenate([x0[:, :p_sh], suf], axis=1)
+
+        blk_k = win_rows(res.blk_k)
+        blk_v = win_rows(res.blk_v)
+        taps_win = jnp.concatenate(
+            [
+                res.taps[0, :p_sh],
+                jax.lax.dynamic_slice_in_dim(res.taps[0], suf0, S, axis=0),
+            ],
+            axis=0,
+        )[None]  # [1, B, n_taps * H]
+    else:
+        blk_k = res.blk_k[:, winner]  # [L, B, n_kv, d]
+        blk_v = res.blk_v[:, winner]
+        taps_win = res.taps[winner][None]
     t_kv = jax.vmap(update_any, in_axes=(0, 0, 0, None))(
         state.t_kv, blk_k[:, None], blk_v[:, None], start
     )
 
     features = jax.lax.dynamic_update_slice(
-        state.features, res.taps[winner][None], (0, start, 0)
+        state.features, taps_win, (0, start, 0)
     )
     acc_trace = jax.lax.dynamic_update_index_in_dim(
         state.acc_trace, tau, state.cycle_idx, 0

@@ -161,3 +161,44 @@ def test_candidate_decode_adaptive_budget_runs():
     res = candidate_generate(engine, prompt, cc, temperature=0.0)
     ar = engine.ar_generate(prompt, temperature=0.0)
     np.testing.assert_array_equal(res.output_ids, ar.output_ids)
+
+
+def test_topk_desc_matches_lax_top_k():
+    """topk_desc must be bit-identical to lax.top_k, including tie order."""
+    from dflash_tpu.ops.sampling import topk_desc
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 97)).astype(np.float32)
+    x[0, 10] = x[0, 20] = x[0, 30] = 3.5  # ties
+    x[2] = 0.0  # all-tied row
+    for n in (1, 3, 8):
+        v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), n)
+        v, i = topk_desc(jnp.asarray(x), n)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("mode", ["fixed_prefix_rank", "uncertainty_sparse_rank", "branch_beam"])
+def test_shared_prefix_verify_matches_unflattened(mode):
+    """The flattened shared-prefix verify (one [1, p + C*(B-p)] row set) must
+    commit exactly the tokens of the per-candidate [C, B] verify at T=0 —
+    the two layouts compute the same attention sets row-for-row."""
+    tcfg = tiny_target_config()
+    dcfg = tiny_draft_config(tcfg, block_size=6, num_layers=2)
+    t_params = qwen3.init_params(jax.random.PRNGKey(0), tcfg, DTYPE)
+    d_params = dflash_draft.init_params(jax.random.PRNGKey(1), dcfg, DTYPE)
+    engine = SpecEngine(
+        tcfg, dcfg, t_params, d_params, max_new_tokens=18,
+        block_size=6, prompt_cap=32, prompt_bucket=16,
+    )
+    prompt = np.random.default_rng(9).integers(0, tcfg.vocab_size - 2, size=(1, 7))
+    base = dict(mode=mode, max_candidates=3, rank_top_k=3,
+                fixed_prefix_len=2, sparse_max_positions=2, branch_depth=2)
+    flat = candidate_generate(
+        engine, prompt, CandidateConfig(shared_prefix=True, **base), temperature=0.0
+    )
+    unflat = candidate_generate(
+        engine, prompt, CandidateConfig(shared_prefix=False, **base), temperature=0.0
+    )
+    np.testing.assert_array_equal(flat.output_ids, unflat.output_ids)
+    assert flat.acceptance_lengths == unflat.acceptance_lengths
