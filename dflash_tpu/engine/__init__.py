@@ -5,11 +5,13 @@ from dflash_tpu.engine.batching import (
     EngineConfig,
     Request,
 )
+from dflash_tpu.engine.disagg import PrefillWorker
 
 __all__ = [
     "BucketedEngine",
     "BucketSpec",
     "ContinuousBatchingEngine",
     "EngineConfig",
+    "PrefillWorker",
     "Request",
 ]

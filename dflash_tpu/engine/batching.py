@@ -124,6 +124,15 @@ class EngineConfig:
     admission_chunk: Optional[int] = None
     # chunk dispatches per scheduling window across in-flight admissions
     admission_chunks_per_step: int = 1
+    # Admission pacing: at most this many queue pops (prefill dispatches)
+    # per scheduling window.  The measured middle ground between burst
+    # admission (max throughput, stall = n_admissions x one prefill — 1.7 s
+    # for 8x 2048-token prompts) and chunk-interleaved admission (stall ~ one
+    # chunk, but reserved lanes idle across many windows, -32% net tok/s at
+    # chunk 512): pacing bounds the stall at ~cap x one prefill while lanes
+    # refill at full speed (docs/RESULTS.md "Admission stalls").  None = no
+    # cap.
+    max_admissions_per_step: Optional[int] = None
     # Benchmark-only: override the accept decision with a deterministic
     # pattern of mean tau (no trained draft checkpoints reach this
     # environment; compute per cycle is identical, see bench.py).
@@ -273,11 +282,22 @@ class ContinuousBatchingEngine:
     """
 
     def __init__(self, tcfg: ModelConfig, dcfg: DraftConfig, t_params, d_params,
-                 cfg: EngineConfig, tokenizer=None):
+                 cfg: EngineConfig, tokenizer=None, prefill_worker=None):
         self.tcfg, self.dcfg = tcfg, dcfg
         self.t_params, self.d_params = t_params, d_params
         self.cfg = cfg
         self.tokenizer = tokenizer  # needed only for stop-string requests
+        # Disaggregated prefill (engine/disagg.py): long admissions run their
+        # prompt-prefix forward on the worker's OWN device and come back as
+        # (kv_rows, taps) for the _prefill_from_prefix resume path — the
+        # decode chip only ever runs the bounded suffix forward.
+        self._disagg = prefill_worker
+        self._disagg_pending = 0
+        if prefill_worker is not None and prefill_worker.kv_quant != cfg.kv_quant:
+            raise ValueError(
+                "prefill_worker.kv_quant must match EngineConfig.kv_quant "
+                "(handoff rows are in the cache's own representation)"
+            )
         R = cfg.num_lanes
         self.total_len = cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1
         self.max_cycles = cfg.max_new_tokens
@@ -420,12 +440,16 @@ class ContinuousBatchingEngine:
                 "request has top_k/top_p but the engine was built with "
                 "sampling_filters=False"
             )
-        if top_k > self.cfg.topk_pool:
-            raise ValueError(
-                f"top_k={top_k} exceeds this engine's exact sampling pool "
-                f"(topk_pool={self.cfg.topk_pool}); configure a wider pool "
-                f"instead of silently clamping"
-            )
+        # Any top_k < vocab is accepted (SGLang accepts arbitrary
+        # sampling_params, reference benchmark_sglang.py:42-47).  The keep
+        # set is EXACT regardless of topk_pool — the pool only seeds the
+        # threshold guess (ops/sampling.py exact_filter_thresholds); a
+        # top_k far beyond the pool pays bisection rounds inside the cycle,
+        # whose measured cost at 16 lanes is a few percent (docs/RESULTS.md
+        # "Wide top-k"), not a correctness risk — so the round-3 submit()
+        # rejection was dropped.
+        if top_k >= self.tcfg.vocab_size:
+            top_k = 0  # keep-everything == filter off
         req = Request(
             rid=next(self._rid),
             input_ids=input_ids.astype(np.int32),
@@ -495,17 +519,23 @@ class ContinuousBatchingEngine:
         admit decisions lag exactly one window; outputs are identical because
         lanes are independent and a finished lane freezes itself on-device
         (its ``done``/frontier condition fails in the cycle's select)."""
+        self._drain_disagg()
         self._admit_pending()
         n_active = sum(r is not None for r in self._lane_req)
+        if n_active == 0 and self._disagg_pending and not self._prefill_tasks:
+            # nothing to dispatch, work pending only on the prefill worker:
+            # yield the GIL instead of starving the worker thread's
+            # trace/compile with a hot drain-poll spin
+            time.sleep(0.001)
 
         if not self.cfg.overlap:
             if n_active == 0:
                 self._step_prefill_tasks()
-                return len(self._prefill_tasks)
+                return len(self._prefill_tasks) + self._disagg_pending
             self._dispatch_window()
             self._step_prefill_tasks()
             self._retire_finished()
-            return n_active + len(self._prefill_tasks)
+            return n_active + len(self._prefill_tasks) + self._disagg_pending
 
         new_peek = None
         if n_active > 0:
@@ -521,7 +551,7 @@ class ContinuousBatchingEngine:
         if self._peek_pending is not None:
             self._harvest(self._peek_pending)
         self._peek_pending = new_peek
-        return n_active + len(self._prefill_tasks)
+        return n_active + len(self._prefill_tasks) + self._disagg_pending
 
     def _dispatch_window(self) -> None:
         window = self._pick_window()
@@ -634,6 +664,8 @@ class ContinuousBatchingEngine:
             l for l in range(self.cfg.num_lanes)
             if self._lane_req[l] is None and l not in self._lane_reserved
         ]
+        if self.cfg.max_admissions_per_step is not None:
+            free = free[: max(1, self.cfg.max_admissions_per_step)]
         reqs: List[Request] = []
         with self._abort_lock:  # pop + register atomically vs abort()'s scan
             while len(reqs) < len(free):
@@ -688,7 +720,11 @@ class ContinuousBatchingEngine:
             for lane, req in zip(lanes, group):
                 try:
                     chunk = self.cfg.admission_chunk
-                    if (
+                    g = self.cfg.prompt_bucket
+                    p0_disagg = ((len(req.input_ids) - 1) // g) * g
+                    if self._disagg is not None and p0_disagg >= g:
+                        self._start_disagg(lane, req, p0_disagg)
+                    elif (
                         chunk is not None
                         and ((len(req.input_ids) - 1) // chunk) * chunk >= chunk
                     ):
@@ -698,6 +734,22 @@ class ContinuousBatchingEngine:
                 except Exception as e:  # noqa: BLE001 — isolate per-request faults
                     self._fail_request(req, f"{type(e).__name__}: {e}")
             i += len(group)
+
+    def _complete_aborted_admission(self, req: Request) -> None:
+        """A request aborted while its prefill was still in flight (chunked
+        task or disagg worker): complete it with the abort finish_reason
+        before it ever touches a lane."""
+        with self._abort_lock:
+            self._aborted.discard(req.rid)
+            self._pending_admit.discard(req.rid)
+        req.error = "aborted before admission"
+        req.meta_info = {"error": req.error,
+                         "finish_reason": {"type": "abort"}}
+        self.completed[req.rid] = req
+        if req.stream_queue is not None:
+            req.stream_queue.put({"token_ids": [], "finished": True,
+                                  "meta_info": req.meta_info})
+        req.done_event.set()
 
     def _fail_request(self, req: Request, msg: str) -> None:
         """Surface a per-request failure: error recorded, SSE consumers
@@ -862,6 +914,62 @@ class ContinuousBatchingEngine:
         self._state = _admit(self._state, jnp.int32(lane), single)
         self._bind_lane(lane, req)
 
+    def _start_disagg(self, lane: int, req: Request, p0: int) -> None:
+        """Hand an admission's prompt-prefix prefill to the disaggregated
+        prefill worker: the lane is reserved, the worker computes the prefix
+        rows on ITS device, and :meth:`_drain_disagg` completes the admission
+        when the handoff lands (engine/disagg.py)."""
+        P = len(req.input_ids)
+        bucket = self._prompt_bucket(P)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :P] = req.input_ids
+        self._lane_reserved.add(lane)
+        self._disagg_pending += 1
+        self._disagg.submit(req, lane, padded, p0)
+
+    def _drain_disagg(self) -> None:
+        """Admit finished disagg handoffs: rows are already on the decode
+        device; the resume path runs one bounded suffix forward (the same
+        _prefill_from_prefix the prefix cache and chunked admission use, so
+        token parity is inherited from their tests)."""
+        if self._disagg is None:
+            return
+        for res in self._disagg.poll():
+            req = res.req
+            self._disagg_pending -= 1
+            self._lane_reserved.discard(res.lane)
+            if req.rid in self._aborted:
+                self._complete_aborted_admission(req)
+                continue
+            if res.error is not None:
+                self._fail_request(req, f"disagg prefill failed: {res.error}")
+                continue
+            try:
+                single = _prefill_from_prefix(
+                    self.t_params, self.d_params, jnp.asarray(res.padded),
+                    jnp.int32(len(req.input_ids)), res.kv_rows, res.taps,
+                    jnp.float32(req.temperature), self._req_key(req),
+                    tcfg=self.tcfg, dcfg=self.dcfg, total_len=self.total_len,
+                    max_cycles=self.max_cycles, kv_quant=self.cfg.kv_quant,
+                    filters=self._req_filters(req), topk_pool=self.cfg.topk_pool,
+                )
+                if self._prefix_cache is not None:
+                    g = self.cfg.prompt_bucket
+                    P0c = (res.p0 // g) * g
+                    if P0c >= g:
+                        from dflash_tpu.engine.prefix_cache import PrefixEntry
+
+                        self._prefix_cache.insert(req.input_ids, PrefixEntry(
+                            kv_rows=jax.tree.map(
+                                lambda x: x[:, :, :P0c], res.kv_rows
+                            ),
+                            taps=res.taps[:, :P0c],
+                        ))
+                self._state = _admit(self._state, jnp.int32(res.lane), single)
+                self._bind_lane(res.lane, req)
+            except Exception as e:  # noqa: BLE001 — isolate per-request faults
+                self._fail_request(req, f"{type(e).__name__}: {e}")
+
     def _start_prefill_task(self, lane: int, req: Request) -> None:
         """Begin a chunk-interleaved admission: reserve the lane, allocate a
         bucket-sized scratch cache (seeded from the prefix cache when it
@@ -920,17 +1028,7 @@ class ContinuousBatchingEngine:
         for task in list(self._prefill_tasks):
             req = task.req
             if req.rid in self._aborted:  # dropped before admission
-                with self._abort_lock:
-                    self._aborted.discard(req.rid)
-                    self._pending_admit.discard(req.rid)
-                req.error = "aborted before admission"
-                req.meta_info = {"error": req.error,
-                                 "finish_reason": {"type": "abort"}}
-                self.completed[req.rid] = req
-                if req.stream_queue is not None:
-                    req.stream_queue.put({"token_ids": [], "finished": True,
-                                          "meta_info": req.meta_info})
-                req.done_event.set()
+                self._complete_aborted_admission(req)
                 self._lane_reserved.discard(task.lane)
                 self._prefill_tasks.remove(task)
                 continue
@@ -1140,6 +1238,7 @@ class ContinuousBatchingEngine:
                 and self._peek_pending is None
                 and self._queue.empty()
                 and not self._prefill_tasks
+                and self._disagg_pending == 0
                 and all(r is None for r in self._lane_req)
             ):
                 return
@@ -1171,7 +1270,11 @@ class ContinuousBatchingEngine:
     def flush(self) -> None:
         """Drop all idle state (the /flush_cache equivalent)."""
         with self._lock:
-            if any(r is not None for r in self._lane_req) or self._prefill_tasks:
+            if (
+                any(r is not None for r in self._lane_req)
+                or self._prefill_tasks
+                or self._disagg_pending
+            ):
                 raise RuntimeError("cannot flush with active requests")
             self._peek_pending = None
             self._last_start_host = None
@@ -1290,6 +1393,7 @@ class BucketedEngine:
                     or p._peek_pending is not None
                     or not p._queue.empty()
                     or p._prefill_tasks
+                    or p._disagg_pending
                     or any(r is not None for r in p._lane_req)
                 )
             if not busy:
