@@ -41,7 +41,7 @@ class BenchMetrics:
         return sum(xs) / len(xs) if xs else 0.0
 
 
-def _post(url: str, payload: dict, timeout: float = 600.0) -> dict:
+def _post(url: str, payload: dict, timeout: float = 1800.0) -> dict:
     req = urllib.request.Request(
         url + "/generate", data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"}, method="POST",
@@ -68,7 +68,7 @@ def _consume_sse(url: str, payload: dict) -> dict:
         headers={"Content-Type": "application/json"},
     )
     last = None
-    with urllib.request.urlopen(req, timeout=600) as resp:
+    with urllib.request.urlopen(req, timeout=1800) as resp:
         for raw in resp:
             line = raw.decode().strip()
             if line.startswith("data: ") and line != "data: [DONE]":
@@ -194,6 +194,12 @@ def main(argv=None) -> None:
     p.add_argument("--admission-chunk", type=int, default=None,
                    help="chunk-interleaved admission prefill (tokens per "
                         "chunk); unset = one-dispatch admission prefill")
+    p.add_argument("--disagg", action="store_true",
+                   help="disaggregated prefill/decode: admission prefix "
+                        "prefill runs on jax.devices()[1] (falls back to "
+                        "device 0 when only one chip is visible — measures "
+                        "the handoff overhead) and ships (kv_rows, taps) to "
+                        "the decode engine")
     p.add_argument("--vocab-size", type=int, default=1000,
                    help="prompt-id range when benchmarking an external --url "
                         "server (must not exceed the served model's vocab)")
@@ -210,9 +216,22 @@ def main(argv=None) -> None:
         from dflash_tpu.engine.server import EngineHTTPServer
 
         tcfg, dcfg, t_params, d_params = _resolve_models(args)  # honors --quant
+        worker = None
+        if args.disagg:
+            import jax
+
+            from dflash_tpu.engine import PrefillWorker
+
+            devs = jax.devices()
+            worker = PrefillWorker(
+                tcfg, dcfg, t_params,
+                prefill_device=devs[1] if len(devs) > 1 else devs[0],
+                decode_device=devs[0], kv_quant=args.kv_quant,
+            )
         engine = ContinuousBatchingEngine(
             tcfg, dcfg, t_params, d_params,
-            EngineConfig(
+            prefill_worker=worker,
+            cfg=EngineConfig(
                 num_lanes=args.num_lanes,
                 max_new_tokens=args.max_new_tokens,
                 block_size=args.block_size or dcfg.block_size,

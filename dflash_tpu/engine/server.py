@@ -60,10 +60,16 @@ def stable_prefix(text: str, stop_strings=()) -> str:
 
 class EngineHTTPServer:
     def __init__(self, engine: ContinuousBatchingEngine, host: str = "127.0.0.1",
-                 port: int = 30000, tokenizer=None, model_name: str = "dflash-tpu"):
+                 port: int = 30000, tokenizer=None, model_name: str = "dflash-tpu",
+                 request_timeout_s: float = 1800.0):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
+        # Per-request wait bound before the server aborts the lane and
+        # answers 400.  The default covers a cold-compile first request
+        # through a tunneled TPU runtime (the 16-lane 4B executable set
+        # compiles in ~10-15 min cold; ~1 min against a warm compile cache).
+        self.request_timeout_s = request_timeout_s
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -178,7 +184,7 @@ class EngineHTTPServer:
 
     def _generate(self, payload: dict) -> dict:
         req = self._submit(payload)
-        if not req.done_event.wait(timeout=600):
+        if not req.done_event.wait(timeout=self.request_timeout_s):
             self.engine.abort(req.rid)  # free the lane, don't just walk away
             raise ValueError("generation timed out")
         if req.error is not None:
@@ -215,7 +221,7 @@ class EngineHTTPServer:
         # the lane generate to max_new_tokens for nobody.
         try:
             while True:
-                item = req.stream_queue.get(timeout=600)
+                item = req.stream_queue.get(timeout=self.request_timeout_s)
                 acc.extend(item["token_ids"])
                 meta = item.get("meta_info") or {"completion_tokens": len(acc)}
                 # rid lets a streaming client POST /abort_request on disconnect
@@ -283,7 +289,7 @@ class EngineHTTPServer:
             return "stop" if fr.get("type") == "stop" else "length"
 
         if not stream:
-            if not req.done_event.wait(timeout=600):
+            if not req.done_event.wait(timeout=self.request_timeout_s):
                 raise ValueError("generation timed out")
             if req.error is not None:
                 handler._send(500, {"error": {"message": req.error,
@@ -320,7 +326,7 @@ class EngineHTTPServer:
         chunk_obj = "chat.completion.chunk" if is_chat else obj
         try:
             while True:
-                item = req.stream_queue.get(timeout=600)
+                item = req.stream_queue.get(timeout=self.request_timeout_s)
                 acc.extend(item["token_ids"])
                 meta = item.get("meta_info")
                 cum = self._decode_text(np.asarray(acc, np.int64), meta, stop_strings)

@@ -32,6 +32,41 @@ class PolicyResult(GenerationResult):
     pass
 
 
+# Module-level executable memos: policy_generate used to build fresh
+# jax.jit wrappers per call, so every generation recompiled every candidate
+# block size's cycle — which (a) multiplied CI wall-clock and (b) poisoned
+# the scheduler's first wall-clock observation of each size with compile
+# time (a ~1000x cycle_hat outlier the EWMA never recovers from).  Keys are
+# the same static args the jit would specialize on.
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _jit_cycle_fn(tcfg, dcfg, bs, stop_token_ids, ctx_window):
+    return jax.jit(
+        partial(
+            _cycle,
+            tcfg=tcfg, dcfg=dcfg, block_size=bs,
+            stop_token_ids=stop_token_ids, ctx_window=ctx_window,
+            with_aux=True,
+        )
+    )
+
+
+@lru_cache(maxsize=256)
+def _jit_window_fn(tcfg, dcfg, bs, stop_token_ids, ctx_window, n_steps,
+                   max_cycles, la_threshold, la_streak):
+    return jax.jit(
+        partial(
+            _window_impl,
+            tcfg=tcfg, dcfg=dcfg, block_size=bs,
+            stop_token_ids=stop_token_ids, ctx_window=ctx_window,
+            n_steps=n_steps, max_cycles=max_cycles,
+            low_accept_threshold=la_threshold, low_accept_streak=la_streak,
+        )
+    )
+
+
 def _window_impl(
     state,
     t_params,
@@ -39,6 +74,7 @@ def _window_impl(
     temperature,
     max_length,
     forced_acc,
+    lac0,  # [] int32 — the scheduler's low_accept_count entering the window
     *,
     tcfg,
     dcfg,
@@ -47,6 +83,8 @@ def _window_impl(
     ctx_window: int,
     n_steps: int,
     max_cycles: int,
+    low_accept_threshold: float = 0.0,
+    low_accept_streak: int = 0,
 ):
     """Up to ``n_steps`` policy cycles at ONE block size in ONE dispatch,
     returning the per-cycle (tau, l_gen) traces the host scheduler consumes.
@@ -55,21 +93,35 @@ def _window_impl(
     RTT vs ~10 ms cycle -> dynamic ran at 0.66x of fixed); windowing
     amortizes that sync over n_steps cycles while the EWMA state machine
     stays host-side and unchanged — it is fed the window's per-cycle tau
-    trace, with the wall clock amortized across the window's cycles."""
+    trace, with the wall clock amortized across the window's cycles.
+
+    The scheduler's LOW-ACCEPTANCE FALLBACK (reference
+    benchmark_dynamic_schedule.py:201-215) is its one wall-clock-free switch
+    trigger, so it is mirrored ON-DEVICE: the window carries the entering
+    ``low_accept_count`` and stops at exactly the cycle where the host
+    scheduler's fallback fires (acceptance ratio < threshold for ``streak``
+    consecutive current-size cycles) — window mode and per-cycle mode
+    produce IDENTICAL (block size, tau) traces for fallback switches.
+    Score-based (EWMA margin+streak) switches consume wall-clock times and
+    stay window-granular by design (tests pin both behaviors).  Pass
+    ``low_accept_streak=0`` (or a hugely negative ``lac0``) to disable."""
     taus0 = jnp.zeros((n_steps,), jnp.int32)
     lgens0 = jnp.zeros((n_steps,), jnp.float32)
 
     def cond(c):
-        st, taus, lgens, i = c
-        return (
+        st, taus, lgens, i, lac = c
+        go = (
             (i < n_steps)
             & (~st.done)
             & (st.start < max_length)
             & (st.cycle_idx < max_cycles)
         )
+        if low_accept_streak > 0:
+            go = go & (lac < low_accept_streak)
+        return go
 
     def body(c):
-        st, taus, lgens, i = c
+        st, taus, lgens, i, lac = c
         st2, aux = _cycle(
             st, t_params, d_params, temperature,
             tcfg=tcfg, dcfg=dcfg, block_size=block_size,
@@ -77,10 +129,12 @@ def _window_impl(
             draft_temperature=temperature, with_aux=True,
             forced_acc=forced_acc,
         )
-        return st2, taus.at[i].set(aux.tau), lgens.at[i].set(aux.l_gen), i + 1
+        ratio = aux.tau.astype(jnp.float32) / jnp.float32(max(1, block_size))
+        lac = jnp.where(ratio < low_accept_threshold, lac + 1, jnp.int32(0))
+        return st2, taus.at[i].set(aux.tau), lgens.at[i].set(aux.l_gen), i + 1, lac
 
-    st, taus, lgens, n_ran = jax.lax.while_loop(
-        cond, body, (state, taus0, lgens0, jnp.int32(0))
+    st, taus, lgens, n_ran, _lac = jax.lax.while_loop(
+        cond, body, (state, taus0, lgens0, jnp.int32(0), lac0)
     )
     return st, taus, lgens, n_ran
 
@@ -128,35 +182,22 @@ def policy_generate(
         )
 
     cycle_fns = {
-        bs: jax.jit(
-            partial(
-                _cycle,
-                tcfg=engine.tcfg,
-                dcfg=engine.dcfg,
-                block_size=bs,
-                stop_token_ids=engine.stop_token_ids,
-                ctx_window=max_block,
-                with_aux=True,
-            )
+        bs: _jit_cycle_fn(
+            engine.tcfg, engine.dcfg, bs, engine.stop_token_ids, max_block
         )
         for bs in candidates
     }
     window = max(1, int(window))
     window_fns = {
-        bs: jax.jit(
-            partial(
-                _window_impl,
-                tcfg=engine.tcfg,
-                dcfg=engine.dcfg,
-                block_size=bs,
-                stop_token_ids=engine.stop_token_ids,
-                ctx_window=max_block,
-                n_steps=window,
-                max_cycles=engine.max_new_tokens,
-            )
+        bs: _jit_window_fn(
+            engine.tcfg, engine.dcfg, bs, engine.stop_token_ids, max_block,
+            window, engine.max_new_tokens,
+            scheduler.cfg.low_accept_threshold if scheduler is not None else 0.0,
+            scheduler.cfg.low_accept_streak if scheduler is not None else 0,
         )
         for bs in candidates
     } if window > 1 else None
+    _LAC_OFF = jnp.int32(-(10 ** 9))  # never reaches the streak inside a window
 
     forced_jnp = None
     if forced_acc_by_bs is not None:
@@ -232,9 +273,17 @@ def policy_generate(
         # from engine.generate by design — compare policy runs only against
         # other policy runs (e.g. --scheduler-mode fixed).
         if use_window:
+            # the on-device fallback cut mirrors host state only when this
+            # window runs at the scheduler's current size (a clamped/probe
+            # bs resets the host streak per cycle — disable the cut)
+            lac0 = (
+                jnp.int32(scheduler.low_accept_count)
+                if scheduler is not None and bs == scheduler.current
+                else _LAC_OFF
+            )
             state, taus_d, lgens_d, n_ran_d = window_fns[bs](
                 state, engine.t_params, engine.d_params, temp,
-                jnp.int32(max_length), fa,
+                jnp.int32(max_length), fa, lac0,
             )
             n_ran = int(n_ran_d)
             wall = time.perf_counter() - c0

@@ -1,0 +1,176 @@
+"""Measure chunk-interleaved admission on the chip (round-4 directive 1).
+
+Workload (the judge's spec): 16 lanes decoding short requests at conc 16;
+2048-token prompts admitted MID-FLIGHT.  Records, per admission_chunk
+setting (None = one-dispatch prefill, vs chunked):
+
+  * net tok/s over the whole run,
+  * the scheduling-window stall distribution (p50/p95/max host step wall)
+    during the long-admission phase — with the overlapped scheduler the
+    harvest blocks on the previous window's readback, so a long prefill
+    queued between windows shows up as an elongated step,
+  * e2e latency of the short requests that were running during admission.
+
+Drives the engine directly (no HTTP) so each step() can be timed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="docs/measurements/admission_chunk.json")
+    p.add_argument("--model", default="qwen3-4b")
+    p.add_argument("--quant", default="int8")
+    p.add_argument("--num-lanes", type=int, default=16)
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--short-prompt", type=int, default=64)
+    p.add_argument("--long-prompt", type=int, default=2040)
+    p.add_argument("--n-long", type=int, default=8)
+    p.add_argument("--chunks", default="none,512,256")
+    p.add_argument("--reps", type=int, default=2)
+    args = p.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    import numpy as np
+
+    from dflash_tpu.bench.cli import _resolve_models
+    from dflash_tpu.engine import ContinuousBatchingEngine, EngineConfig
+
+    class _A:
+        model_name_or_path = args.model
+        draft_name_or_path = "auto:1"
+        dtype = "bfloat16"
+        quant = args.quant
+
+    tcfg, dcfg, t_params, d_params = _resolve_models(_A())
+    engine = ContinuousBatchingEngine(
+        tcfg, dcfg, t_params, d_params,
+        EngineConfig(
+            num_lanes=args.num_lanes,
+            max_new_tokens=args.max_new_tokens,
+            block_size=dcfg.block_size,
+            prompt_cap=2048,
+            steps_per_sync=2,
+            emulate_tau=7.46,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    mk = lambda n, s: rng.integers(10, tcfg.vocab_size - 10, size=(n,)) + 0 * s
+
+    def run_phase(chunk, label, cps=1, pace=None):
+        engine.cfg.admission_chunk = chunk
+        engine.cfg.admission_chunks_per_step = cps
+        engine.cfg.max_admissions_per_step = pace
+        engine.flush()
+        t0 = time.perf_counter()
+        shorts = [engine.submit(mk(args.short_prompt, i)) for i in range(args.num_lanes)]
+        step_walls = []
+        longs = []
+        late_shorts = []
+        injected = False
+        steps = 0
+        t_inject = None
+        while True:
+            ts = time.perf_counter()
+            active = engine.step()
+            step_walls.append((time.perf_counter() - ts, injected))
+            steps += 1
+            if not injected and steps >= 12:
+                t_inject = time.perf_counter()
+                longs = [engine.submit(mk(args.long_prompt, 100 + i))
+                         for i in range(args.n_long)]
+                late_shorts = [engine.submit(mk(args.short_prompt, 200 + i))
+                               for i in range(args.n_long)]
+                injected = True
+            if (
+                active == 0 and injected
+                and engine._peek_pending is None
+                and engine._queue.empty()
+                and not engine._prefill_tasks
+                and all(r is None for r in engine._lane_req)
+            ):
+                break
+            if steps > 20000:
+                raise RuntimeError("phase did not drain")
+        wall = time.perf_counter() - t0
+        all_reqs = shorts + longs + late_shorts
+        toks = sum(r.meta_info["completion_tokens"] for r in all_reqs if r.meta_info)
+        errs = [r.error for r in all_reqs if r.error]
+        post = sorted(w for w, inj in step_walls if inj)
+        pre = sorted(w for w, inj in step_walls if not inj)
+        q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))] if xs else 0.0
+        row = {
+            "label": label, "chunk": chunk, "cps": cps, "pace": pace,
+            "tok_s": round(toks / wall, 1),
+            "wall_s": round(wall, 3), "tokens": toks, "steps": steps,
+            "errors": errs,
+            "stall_ms": {
+                "pre_p50": round(q(pre, 0.5) * 1e3, 1),
+                "post_p50": round(q(post, 0.5) * 1e3, 1),
+                "post_p95": round(q(post, 0.95) * 1e3, 1),
+                "post_max": round(q(post, 1.0) * 1e3, 1),
+            },
+            "short_e2e_s": round(
+                float(np.mean([r.meta_info["e2e_latency_s"] for r in shorts
+                               if r.meta_info])), 3),
+            "late_short_e2e_s": round(
+                float(np.mean([r.meta_info["e2e_latency_s"] for r in late_shorts
+                               if r.meta_info])), 3),
+            "long_e2e_s": round(
+                float(np.mean([r.meta_info["e2e_latency_s"] for r in longs
+                               if r.meta_info])), 3),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
+    chunks = [None if c == "none" else int(c) for c in args.chunks.split(",")]
+    # warmup: compile every executable each phase needs (short + long bucket
+    # prefill, chunked prefill per chunk size, prefix-resume, cycle fns)
+    print("[measure] warmup (compiles)...", file=sys.stderr, flush=True)
+    for c in chunks:
+        engine.cfg.admission_chunk = c
+        engine.flush()
+        engine.submit(mk(args.short_prompt, -1))
+        engine.submit(mk(args.long_prompt, -2))
+        engine.run_until_drained()
+    print("[measure] warmup done", file=sys.stderr, flush=True)
+
+    rows = []
+    for rep in range(args.reps):
+        for c in chunks:
+            rows.append(run_phase(c, f"chunk_{c}_rep{rep}"))
+        # chunked admission with more chunk dispatches per window (lanes
+        # refill faster; stall grows ~linearly in cps)
+        rows.append(run_phase(512, f"chunk_512_cps2_rep{rep}", cps=2))
+        rows.append(run_phase(512, f"chunk_512_cps4_rep{rep}", cps=4))
+        # admission PACING: unchunked prefill, at most N admissions/window —
+        # bounds the stall at ~N x one prefill with burst-level throughput
+        rows.append(run_phase(None, f"pace1_rep{rep}", pace=1))
+        rows.append(run_phase(None, f"pace2_rep{rep}", pace=2))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"config": vars(args), "rows": rows}, f, indent=1)
+    print(f"[measure] wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

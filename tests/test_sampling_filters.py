@@ -4,10 +4,10 @@ The reference's serving client sends ``sampling_params = {temperature,
 top_p, top_k, max_new_tokens}`` per request (reference
 benchmark_sglang.py:42-47); SGLang applies the filters server-side.  Here
 the filters run on-device inside the speculative cycle
-(ops/sampling.sample_topk_topp, resolved EXACTLY within a static
-``topk_pool`` candidate set — exact partial-reduce + full-vocab-normalized
-nucleus; requests with top_k > topk_pool are rejected, never clamped) and
-per-lane in the continuous-batching engine.
+(ops/sampling.sample_topk_topp): the keep set is EXACT for any top_k/top_p
+regardless of the static ``topk_pool`` (bit-space value thresholds; the pool
+only seeds the guess), applied per-lane in the continuous-batching engine.
+submit() accepts any top_k < vocab like SGLang.
 """
 
 import jax
@@ -245,16 +245,27 @@ def _engine(models, **kw):
     return ContinuousBatchingEngine(tcfg, dcfg, t_params, d_params, cfg)
 
 
-def test_submit_rejects_topk_beyond_pool(models):
-    """No silent clamp: a request whose top_k exceeds the engine's exact pool
-    is rejected with a clear error; a wider-pool engine accepts it."""
-    eng = _engine(models, sampling_filters=True)  # default topk_pool=64
-    with pytest.raises(ValueError, match="topk_pool"):
-        eng.submit(np.asarray([5, 6, 7]), temperature=1.0, top_k=100)
+def test_submit_accepts_topk_beyond_pool_exactly(models):
+    """submit() accepts any top_k < vocab (SGLang accepts arbitrary
+    sampling_params, reference benchmark_sglang.py:42-47) and the sample is
+    EXACT regardless of the engine's pool: a narrow-pool engine (bisection
+    path) and a wide-pool engine (threshold-guess path) produce identical
+    tokens for the same seed, because the keep set is pool-independent."""
+    tcfg = models[0]
+    narrow = _engine(models, sampling_filters=True, topk_pool=8)
     wide = _engine(models, sampling_filters=True, topk_pool=128)
-    req = wide.submit(np.asarray([5, 6, 7]), temperature=1.0, top_k=100)
+    prompt = np.asarray([5, 6, 7])
+    k_wide = tcfg.vocab_size - 3  # far beyond the narrow pool
+    r_n = narrow.submit(prompt, temperature=1.0, top_k=k_wide, seed=11)
+    narrow.run_until_drained()
+    r_w = wide.submit(prompt, temperature=1.0, top_k=k_wide, seed=11)
     wide.run_until_drained()
-    assert req.error is None and req.output_ids is not None
+    assert r_n.error is None and r_w.error is None
+    np.testing.assert_array_equal(r_n.output_ids, r_w.output_ids)
+    # top_k >= vocab is a semantic no-op: accepted and normalized off
+    r_off = narrow.submit(prompt, temperature=1.0, top_k=tcfg.vocab_size, seed=3)
+    narrow.run_until_drained()
+    assert r_off.error is None
 
 
 def test_submit_rejects_filters_without_flag(models):
