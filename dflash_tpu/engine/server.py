@@ -59,6 +59,10 @@ def stable_prefix(text: str, stop_strings=()) -> str:
 
 
 class EngineHTTPServer:
+    # class-level default so partially-constructed servers (tests build one
+    # via __new__ to drive handlers without a socket) still resolve it
+    request_timeout_s: float = 1800.0
+
     def __init__(self, engine: ContinuousBatchingEngine, host: str = "127.0.0.1",
                  port: int = 30000, tokenizer=None, model_name: str = "dflash-tpu",
                  request_timeout_s: float = 1800.0):
