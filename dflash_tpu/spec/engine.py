@@ -461,13 +461,36 @@ def _verify_stage(
 
     # -- verify forward -----------------------------------------------------
     v_embeds = qwen3.embed(t_params, block)
-    v_mask = qwen3.causal_mask(block_positions[0], T)
-    res = qwen3.forward(
-        t_params, tcfg, v_embeds, block_positions, state.t_kv, start, v_mask,
-        tap_ids=dcfg.target_layer_ids, mesh=mesh,
-        attn_impl="xla" if attn_impl == "bucketed" else attn_impl,
-        attn_limit=(start + B) if attn_impl == "bucketed" else None,
-    )
+    if attn_impl == "xla":
+        # Two-part verify (default since round 4): the committed-context
+        # cache is READ-ONLY inside the layer scan (pure xs — no ys), the
+        # block rows attend via the LSE-merged two-part attention, and the
+        # accepted rows commit ONCE at cycle end.  The previous structure
+        # (attn_impl="xla_fullbuf") wrote block K/V into the cache per layer
+        # inside the scan, which forced a full cache-layer copy through the
+        # scan's ys every layer every cycle (~190 MB/cycle single-stream at
+        # total_len 657; the 16-lane batched loop's profiled ~4.4 ms/cycle
+        # "ys write-back").  Measured A/B single-stream: 1.063 -> 1.011
+        # ms/tok (the candidate path's C=1 cycle exposed the win,
+        # docs/RESULTS.md round 4).
+        res = qwen3.forward_block_candidates(
+            t_params, tcfg, v_embeds, block_positions, state.t_kv, start,
+            tap_ids=dcfg.target_layer_ids, mesh=mesh,
+        )
+        from dflash_tpu.cache.kv import update_any as _upd
+
+        new_t_kv = jax.vmap(_upd, in_axes=(0, 0, 0, None))(
+            state.t_kv, res.blk_k, res.blk_v, start
+        )
+        res = qwen3.ForwardResult(hidden=res.hidden, taps=res.taps, kv=new_t_kv)
+    else:
+        v_mask = qwen3.causal_mask(block_positions[0], T)
+        res = qwen3.forward(
+            t_params, tcfg, v_embeds, block_positions, state.t_kv, start, v_mask,
+            tap_ids=dcfg.target_layer_ids, mesh=mesh,
+            attn_impl="xla" if attn_impl in ("bucketed", "xla_fullbuf") else attn_impl,
+            attn_limit=(start + B) if attn_impl == "bucketed" else None,
+        )
     posterior = _sample_posterior(
         qwen3.lm_head(t_params, res.hidden), temperature, k_post, filters,
         topk_pool,
@@ -675,13 +698,30 @@ def _ar_decode(
         tok = jax.lax.dynamic_slice(s.output_ids, (0, s.start), (1, 1))
         positions = s.start[None, None] * jnp.ones((1, 1), jnp.int32)
         embeds = qwen3.embed(t_params, tok)
-        mask = qwen3.causal_mask(positions[0], T)
-        res = qwen3.forward(
-            t_params, tcfg, embeds, positions, s.t_kv, s.start, mask,
-            mesh=mesh,
-            attn_impl="xla" if attn_impl == "bucketed" else attn_impl,
-            attn_limit=(s.start + 1) if attn_impl == "bucketed" else None,
-        )
+        if attn_impl == "xla":
+            # Same two-part structure as the spec verify (read-only ctx in
+            # the layer scan + one end-of-step commit): the in-scan cache
+            # write forced a full cache-layer ys copy per layer per step —
+            # the AR baseline deserves the same fix the spec path got, so
+            # the headline speedup ratio compares two best-effort paths.
+            res = qwen3.forward_block_candidates(
+                t_params, tcfg, embeds, positions, s.t_kv, s.start,
+                tap_ids=(), mesh=mesh,
+            )
+            from dflash_tpu.cache.kv import update_any as _upd
+
+            new_kv = jax.vmap(_upd, in_axes=(0, 0, 0, None))(
+                s.t_kv, res.blk_k, res.blk_v, s.start
+            )
+            res = qwen3.ForwardResult(hidden=res.hidden, taps=res.taps, kv=new_kv)
+        else:
+            mask = qwen3.causal_mask(positions[0], T)
+            res = qwen3.forward(
+                t_params, tcfg, embeds, positions, s.t_kv, s.start, mask,
+                mesh=mesh,
+                attn_impl="xla" if attn_impl in ("bucketed", "xla_fullbuf") else attn_impl,
+                attn_limit=(s.start + 1) if attn_impl == "bucketed" else None,
+            )
         nxt = _sample_posterior(
             qwen3.lm_head(t_params, res.hidden), temperature, k_post, filters
         )[0, 0]

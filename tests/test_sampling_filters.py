@@ -45,19 +45,19 @@ def test_greedy_ignores_filters():
 def test_noop_filters_match_unfiltered_sample():
     """top_k<=0 and top_p>=1 must reproduce sample() bit-for-bit (same key)."""
     logits = _logits(batch=8)
+    fn = jax.jit(sample_topk_topp)
     for seed in range(5):
         key = jax.random.PRNGKey(seed)
         base = sample(logits, 0.9, key)
-        filt = sample_topk_topp(logits, 0.9, key, jnp.int32(0), jnp.float32(1.0))
+        filt = fn(logits, 0.9, key, jnp.int32(0), jnp.float32(1.0))
         np.testing.assert_array_equal(np.asarray(base), np.asarray(filt))
 
 
 def test_top_k_one_is_argmax_at_any_temperature():
     logits = _logits(batch=4)
+    fn = jax.jit(sample_topk_topp)
     for seed in range(5):
-        got = sample_topk_topp(
-            logits, 5.0, jax.random.PRNGKey(seed), jnp.int32(1), jnp.float32(1.0)
-        )
+        got = fn(logits, 5.0, jax.random.PRNGKey(seed), jnp.int32(1), jnp.float32(1.0))
         np.testing.assert_array_equal(np.asarray(got), np.argmax(np.asarray(logits), -1))
 
 
@@ -65,10 +65,11 @@ def test_top_k_restricts_support():
     logits = _logits(batch=1)
     top2 = set(np.argsort(np.asarray(logits)[0])[-2:].tolist())
     seen = set()
+    # jit once, then 200 cheap executions — the eager per-call dispatch of
+    # the threshold search was 118 s of CI wall-clock for this test alone
+    fn = jax.jit(sample_topk_topp)
     for seed in range(200):
-        got = sample_topk_topp(
-            logits, 2.0, jax.random.PRNGKey(seed), jnp.int32(2), jnp.float32(1.0)
-        )
+        got = fn(logits, 2.0, jax.random.PRNGKey(seed), jnp.int32(2), jnp.float32(1.0))
         seen.add(int(np.asarray(got)[0]))
     assert seen <= top2
     assert len(seen) == 2  # at T=2 both survivors should actually appear
@@ -80,10 +81,9 @@ def test_top_p_restricts_to_nucleus():
     v = np.full((1, 64), -3.0, np.float32)
     v[0, 7] = 3.0
     logits = jnp.asarray(v)
+    fn = jax.jit(sample_topk_topp)
     for seed in range(50):
-        got = sample_topk_topp(
-            logits, 1.0, jax.random.PRNGKey(seed), jnp.int32(0), jnp.float32(0.5)
-        )
+        got = fn(logits, 1.0, jax.random.PRNGKey(seed), jnp.int32(0), jnp.float32(0.5))
         assert int(np.asarray(got)[0]) == 7
 
 
@@ -96,8 +96,9 @@ def test_top_p_keeps_first_token_even_for_tiny_p():
 
 
 def test_top_k_beyond_pool_clamps_not_crashes():
-    """At the SAMPLER level k > pool still clamps (the executable is static);
-    the serving/engine layer is where such requests are rejected loudly."""
+    """k far beyond the pool is EXACT (the pool only seeds the threshold
+    guess; the bisection resolves the true rank-k threshold) and must
+    execute without error."""
     logits = _logits(vocab=256)
     got = sample_topk_topp(
         logits, 1.0, jax.random.PRNGKey(0), jnp.int32(200), jnp.float32(1.0)
