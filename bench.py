@@ -187,9 +187,11 @@ def main():
 
     # --- batched serving throughput (optional, BENCH_LANES=R) --------------
     batched_detail = {}
-    # 16 lanes is the measured single-chip saturation point for the 4B
-    # geometry (docs/RESULTS.md lane-scaling table) — report the chip at peak.
-    lanes = int(os.environ.get("BENCH_LANES", "16" if preset != "smoke" else "0"))
+    # 24 lanes is the measured single-chip peak for the 4B geometry since the
+    # round-4 two-part verify cut per-cycle overhead and moved the knee past
+    # 16 (scripts/measure_lane_sweep.py: 16 -> 5305, 24 -> 5551, 32 -> 5209
+    # tok/s/chip; round-3 structure saturated at 16) — report the chip at peak.
+    lanes = int(os.environ.get("BENCH_LANES", "24" if preset != "smoke" else "0"))
     if lanes > 1:
         from dflash_tpu.spec.batched import jit_batched_decode, jit_batched_prefill
 

@@ -148,7 +148,18 @@ class EngineHTTPServer:
                 except ValueError as e:
                     self._send(400, {"error": str(e)})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # stdlib default listen backlog is 5: a concurrency-32 client
+            # burst (every urllib client opens a fresh connection per
+            # request, and they all finish+reconnect together at a window
+            # boundary) can overflow it while the accept thread waits on the
+            # GIL behind host-side harvest work, and the kernel then RSTs
+            # the overflow — observed as client ConnectionResetError at
+            # conc 32 (scripts/measure_serving_ceiling.py, round 4)
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = _Server((host, port), Handler)
         self.host, self.port = host, self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
