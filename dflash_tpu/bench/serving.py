@@ -191,6 +191,9 @@ def main(argv=None) -> None:
     p.add_argument("--stream-interval", type=int, default=4,
                    help="engine service cadence for streaming/stop lanes "
                         "(windows between output readbacks; 1 = every window)")
+    p.add_argument("--prefill-ahead", type=int, default=0,
+                   help="stage up to N plain-path admission prefills while "
+                        "all lanes are busy (speculative pre-admission)")
     p.add_argument("--admission-chunk", type=int, default=None,
                    help="chunk-interleaved admission prefill (tokens per "
                         "chunk); unset = one-dispatch admission prefill")
@@ -242,6 +245,7 @@ def main(argv=None) -> None:
                 emulate_tau=args.emulate_tau,
                 stream_interval=args.stream_interval,
                 admission_chunk=args.admission_chunk,
+                prefill_ahead=args.prefill_ahead,
                 temperature=args.temperature,
                 sampling_filters=args.sampling_filters,
                 topk_pool=args.topk_pool,

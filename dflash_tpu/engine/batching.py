@@ -124,6 +124,17 @@ class EngineConfig:
     admission_chunk: Optional[int] = None
     # chunk dispatches per scheduling window across in-flight admissions
     admission_chunks_per_step: int = 1
+    # Prefill-ahead (speculative pre-admission): while every lane is busy,
+    # up to this many queued plain-path requests are prefilled into staged
+    # single-lane states BETWEEN decode windows, so a freed lane is refilled
+    # with one cheap admit dispatch instead of waiting on a prompt prefill.
+    # Attacks the measured ~10% lane-occupancy loss at cohort turnover
+    # (docs/RESULTS.md serving-ceiling decomposition): the prefill FLOPs
+    # still run on the device, but during the busy period instead of on the
+    # lane-turnaround critical path.  Long prompts keep their chunked /
+    # disaggregated admission routes.  Each staged state holds a full
+    # total_len KV copy until admission — cap accordingly.  0 disables.
+    prefill_ahead: int = 0
     # Admission pacing: at most this many queue pops (prefill dispatches)
     # per scheduling window.  The measured middle ground between burst
     # admission (max throughput, stall = n_admissions x one prefill — 1.7 s
@@ -324,6 +335,9 @@ class ContinuousBatchingEngine:
         self._rid = itertools.count()
         # chunk-interleaved admissions in flight + their reserved lanes
         self._prefill_tasks: List[_PrefillTask] = []
+        # prefill-ahead: (request, prefilled single-lane state) pairs staged
+        # while all lanes were busy, admitted the moment a lane frees
+        self._staged: List[tuple] = []
         self._lane_reserved: set = set()
         self._aborted: set = set()  # rids to force-finish at next harvest
         # rids popped from the queue but not yet bound into a lane: abort()
@@ -531,11 +545,14 @@ class ContinuousBatchingEngine:
         if not self.cfg.overlap:
             if n_active == 0:
                 self._step_prefill_tasks()
-                return len(self._prefill_tasks) + self._disagg_pending
+                return (len(self._prefill_tasks) + self._disagg_pending
+                        + len(self._staged))
             self._dispatch_window()
             self._step_prefill_tasks()
+            self._stage_pending()
             self._retire_finished()
-            return n_active + len(self._prefill_tasks) + self._disagg_pending
+            return (n_active + len(self._prefill_tasks) + self._disagg_pending
+                    + len(self._staged))
 
         new_peek = None
         if n_active > 0:
@@ -548,10 +565,13 @@ class ContinuousBatchingEngine:
         # device runs window then chunk(s), so each window is delayed by at
         # most admission_chunks_per_step chunk forwards, never a full prefill
         self._step_prefill_tasks()
+        # prefill-ahead staging also dispatches behind the running window
+        self._stage_pending()
         if self._peek_pending is not None:
             self._harvest(self._peek_pending)
         self._peek_pending = new_peek
-        return n_active + len(self._prefill_tasks) + self._disagg_pending
+        return (n_active + len(self._prefill_tasks) + self._disagg_pending
+                + len(self._staged))
 
     def _dispatch_window(self) -> None:
         window = self._pick_window()
@@ -660,6 +680,21 @@ class ContinuousBatchingEngine:
         return self._max_window
 
     def _admit_pending(self) -> None:
+        # staged prefill-ahead singles admit first: one cheap scatter each
+        if self._staged:
+            for lane in range(self.cfg.num_lanes):
+                if not self._staged:
+                    break
+                if self._lane_req[lane] is not None or lane in self._lane_reserved:
+                    continue
+                while self._staged:
+                    req, single = self._staged.pop(0)
+                    if req.rid in self._aborted:
+                        self._complete_aborted_admission(req)
+                        continue  # lane still free — try the next staged
+                    self._state = _admit(self._state, jnp.int32(lane), single)
+                    self._bind_lane(lane, req)
+                    break
         free = [
             l for l in range(self.cfg.num_lanes)
             if self._lane_req[l] is None and l not in self._lane_reserved
@@ -873,7 +908,10 @@ class ContinuousBatchingEngine:
         self._lane_top_p[lane] = req.top_p
         self._lane_epoch[lane] += 1
 
-    def _admit_request(self, lane: int, req: Request) -> None:
+    def _compute_single(self, req: Request):
+        """Run a plain-path admission's prompt prefill: returns the
+        prefilled single-lane LoopState (lane-independent — only the admit
+        scatter couples a request to a lane)."""
         P = len(req.input_ids)
         bucket = self._prompt_bucket(P)
         padded = np.zeros((1, bucket), np.int32)
@@ -911,8 +949,61 @@ class ContinuousBatchingEngine:
                         kv_rows=jax.tree.map(lambda x: x[:, :, :P0], single.t_kv),
                         taps=single.features[:, :P0],
                     ))
+        return single
+
+    def _admit_request(self, lane: int, req: Request) -> None:
+        single = self._compute_single(req)
         self._state = _admit(self._state, jnp.int32(lane), single)
         self._bind_lane(lane, req)
+
+    def _plain_path(self, req: Request) -> bool:
+        """True when admission would run the one-dispatch prefill (neither
+        the disaggregated-worker nor the chunk-interleaved route applies —
+        mirrors _admit_pending's routing)."""
+        P1 = len(req.input_ids) - 1
+        g = self.cfg.prompt_bucket
+        if self._disagg is not None and (P1 // g) * g >= g:
+            return False
+        chunk = self.cfg.admission_chunk
+        return not (chunk is not None and (P1 // chunk) * chunk >= chunk)
+
+    def _stage_pending(self) -> None:
+        """Prefill-ahead: while every lane is busy, prefill queued plain-path
+        requests into staged single-lane states (device work interleaved
+        behind the running decode windows), so that a freed lane is refilled
+        by one cheap admit scatter instead of a full prompt prefill on the
+        turnaround critical path."""
+        cap = self.cfg.prefill_ahead
+        if cap <= 0 or len(self._staged) >= cap:
+            return
+        if any(
+            self._lane_req[lane] is None and lane not in self._lane_reserved
+            for lane in range(self.cfg.num_lanes)
+        ):
+            return  # free lanes exist: normal admission owns the queue now
+        while len(self._staged) < cap:
+            with self._queue.mutex:  # peek FIFO head without popping
+                head = self._queue.queue[0] if self._queue.queue else None
+            if head is None or not self._plain_path(head):
+                return  # long prompts keep their chunked/disagg routes
+            with self._abort_lock:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    return
+                self._pending_admit.add(req.rid)
+            if not self._plain_path(req):
+                # raced with abort()'s queue rebuild: a different (long)
+                # request surfaced — put it back at the FRONT (preserve FIFO)
+                with self._abort_lock:
+                    self._pending_admit.discard(req.rid)
+                with self._queue.mutex:
+                    self._queue.queue.appendleft(req)
+                return
+            try:
+                self._staged.append((req, self._compute_single(req)))
+            except Exception as e:  # noqa: BLE001 — isolate per-request faults
+                self._fail_request(req, f"{type(e).__name__}: {e}")
 
     def _start_disagg(self, lane: int, req: Request, p0: int) -> None:
         """Hand an admission's prompt-prefix prefill to the disaggregated
@@ -1274,6 +1365,7 @@ class ContinuousBatchingEngine:
                 any(r is not None for r in self._lane_req)
                 or self._prefill_tasks
                 or self._disagg_pending
+                or self._staged
             ):
                 raise RuntimeError("cannot flush with active requests")
             self._peek_pending = None

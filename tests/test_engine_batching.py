@@ -436,3 +436,57 @@ def test_prefix_cache_with_int8_kv(models):
     cold.run_until_drained()
     np.testing.assert_array_equal(r1.output_ids, c1.output_ids)
     np.testing.assert_array_equal(r2.output_ids, c2.output_ids)
+
+
+# -- prefill-ahead (speculative pre-admission) ------------------------------
+
+
+def test_prefill_ahead_token_parity(models):
+    """With more requests than lanes and prefill_ahead on, every request's
+    output must match the plain engine's (staging only moves the prefill off
+    the turnaround critical path; same executables, same per-request key)."""
+    prompts = [np.asarray([3 + i, 4, 5 + (i % 3)]) for i in range(7)]
+    base = make_engine(models, num_lanes=2)
+    base_reqs = [base.submit(p) for p in prompts]
+    base.run_until_drained()
+
+    eng = make_engine(models, num_lanes=2, prefill_ahead=3)
+    reqs = [eng.submit(p) for p in prompts]
+    eng.run_until_drained()
+    assert not eng._staged
+    for r, b in zip(reqs, base_reqs):
+        assert r.error is None
+        np.testing.assert_array_equal(r.output_ids, b.output_ids)
+
+
+def test_prefill_ahead_stages_while_lanes_busy(models):
+    """Staging must actually happen: with all lanes busy and a deep queue,
+    stepping the engine fills the staged list up to the cap before any lane
+    frees."""
+    eng = make_engine(models, num_lanes=2, max_new_tokens=12,
+                      prefill_ahead=2, overlap=False)
+    for i in range(6):
+        eng.submit(np.asarray([3 + i, 4, 5]))
+    eng.step()  # admits 2 into lanes
+    assert sum(r is not None for r in eng._lane_req) == 2
+    eng.step()  # all lanes busy -> stages up to cap
+    assert len(eng._staged) == 2
+    eng.run_until_drained()
+    assert not eng._staged
+    assert all(r is None for r in eng._lane_req)
+
+
+def test_prefill_ahead_abort_while_staged(models):
+    """A request aborted while its prefill-ahead single is staged must
+    complete with the abort finish_reason and never occupy a lane."""
+    eng = make_engine(models, num_lanes=2, prefill_ahead=2, overlap=False)
+    running = [eng.submit(np.asarray([3 + i, 4, 5])) for i in range(2)]
+    victim = eng.submit(np.asarray([9, 9, 9]))
+    eng.step()
+    eng.step()  # victim now staged
+    assert any(r.rid == victim.rid for r, _ in eng._staged)
+    assert eng.abort(victim.rid)
+    eng.run_until_drained()
+    assert victim.meta_info["finish_reason"]["type"] == "abort"
+    for r in running:
+        assert r.error is None and r.output_ids is not None
