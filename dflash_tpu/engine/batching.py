@@ -981,7 +981,13 @@ class ContinuousBatchingEngine:
             for lane in range(self.cfg.num_lanes)
         ):
             return  # free lanes exist: normal admission owns the queue now
-        while len(self._staged) < cap:
+        # pace the staging dispatches: each prefill rides behind the current
+        # decode window, and a burst of them would bubble the pipeline the
+        # same way burst admission does (the admission-pacing lesson,
+        # max_admissions_per_step) — so stage at most a couple per window
+        budget = self.cfg.max_admissions_per_step or 2
+        while len(self._staged) < cap and budget > 0:
+            budget -= 1
             with self._queue.mutex:  # peek FIFO head without popping
                 head = self._queue.queue[0] if self._queue.queue else None
             if head is None or not self._plain_path(head):
