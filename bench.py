@@ -190,8 +190,11 @@ def main():
     # 24 lanes is the measured single-chip peak for the 4B geometry since the
     # round-4 two-part verify cut per-cycle overhead and moved the knee past
     # 16 (scripts/measure_lane_sweep.py: 16 -> 5305, 24 -> 5551, 32 -> 5209
-    # tok/s/chip; round-3 structure saturated at 16) — report the chip at peak.
-    lanes = int(os.environ.get("BENCH_LANES", "24" if preset != "smoke" else "0"))
+    # tok/s/chip; round-3 structure saturated at 16) — report the chip at
+    # peak.  The bigger presets keep 16: their weight sets leave less HBM
+    # for 24 lanes of KV/features, and their knees were not re-measured.
+    default_lanes = "24" if preset == "qwen3-4b" else "16"
+    lanes = int(os.environ.get("BENCH_LANES", default_lanes if preset != "smoke" else "0"))
     if lanes > 1:
         from dflash_tpu.spec.batched import jit_batched_decode, jit_batched_prefill
 

@@ -172,8 +172,9 @@ def main(argv=None) -> None:
     p.add_argument("--shared-prefix-len", type=int, default=0,
                    help="length of a system-prompt prefix shared by all "
                         "requests (exercises the prefix cache)")
-    p.add_argument("--steps-per-sync", type=int, default=2,
-                   help="decode cycles per device dispatch")
+    p.add_argument("--steps-per-sync", type=int, default=4,
+                   help="decode cycles per device dispatch (engine default; "
+                        "round-4 A/B: 4 beats 2 with the two-part verify)")
     p.add_argument("--emulate-tau", type=float, default=None,
                    help="benchmark-only acceptance override (mean tau)")
     p.add_argument("--report-path", default=None)

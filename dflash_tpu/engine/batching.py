@@ -52,12 +52,16 @@ class EngineConfig:
     kv_quant: bool = False  # int8 KV cache
     # Cycles per device dispatch (multi-step scheduling): the host only
     # retires/admits every steps_per_sync cycles.  With the overlapped
-    # scheduler (below) dispatch latency hides behind device compute, so
-    # SMALL windows win: they cut finished-lane idle burn and retire lag
-    # (measured best = 2 at 16 lanes on a tunneled v5e, docs/RESULTS.md;
-    # the pre-overlap sweet spot was 16).  1 pays two dispatches + a peek
-    # per cycle — the pipeline can't fully hide that.
-    steps_per_sync: int = 2
+    # scheduler (below) dispatch latency hides behind device compute; the
+    # residual tradeoff is the measured ~5-6 ms/window fixed dispatch cost
+    # through the tunneled runtime (amortized by bigger windows) against
+    # finished-lane idle burn + retire lag (grow with the window).  Round-2
+    # measured 2 as the optimum with the slower verify; the round-4 verify
+    # moved it to 4 (interleaved A/B at conc 16: sps=4 won all 4 paired
+    # reps, median 3373 vs 3331; window microbench 23.6 vs 25.5 ms/cycle —
+    # docs/measurements/{sps_ab,window_exec*}.json).  1 pays two dispatches
+    # + a peek per cycle — the pipeline can't fully hide that.
+    steps_per_sync: int = 4
     # Adaptive windows: size each dispatch to the earliest predicted lane
     # finish (power-of-two buckets <= steps_per_sync, one compile each), so a
     # finishing lane is retired — and a queued request admitted — without
