@@ -61,6 +61,11 @@ class EngineConfig:
     # reps, median 3373 vs 3331; window microbench 23.6 vs 25.5 ms/cycle —
     # docs/measurements/{sps_ab,window_exec*}.json).  1 pays two dispatches
     # + a peek per cycle — the pipeline can't fully hide that.
+    # Measurement scope: the 2-vs-4 A/B ran on the qwen3-4b geometry at
+    # conc 16 (deltas inside the documented ±10% run-to-run band; the sign
+    # was consistent across all pairs).  Other presets/concurrencies inherit
+    # this default unmeasured — re-run scripts/measure_sps_ab.py before
+    # leaning on it for a different geometry.
     steps_per_sync: int = 4
     # Adaptive windows: size each dispatch to the earliest predicted lane
     # finish (power-of-two buckets <= steps_per_sync, one compile each), so a
@@ -314,7 +319,9 @@ class ContinuousBatchingEngine:
                 "(handoff rows are in the cache's own representation)"
             )
         R = cfg.num_lanes
-        self.total_len = cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1
+        # 128-aligned so the fused verify kernel (kernels/verify_fused.py)
+        # never silently falls back to XLA on an unaligned cache
+        self.total_len = -(-(cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1) // 128) * 128
         self.max_cycles = cfg.max_new_tokens
 
         self._queue: "queue.Queue[Request]" = queue.Queue()
@@ -988,8 +995,14 @@ class ContinuousBatchingEngine:
         # pace the staging dispatches: each prefill rides behind the current
         # decode window, and a burst of them would bubble the pipeline the
         # same way burst admission does (the admission-pacing lesson,
-        # max_admissions_per_step) — so stage at most a couple per window
-        budget = self.cfg.max_admissions_per_step or 2
+        # max_admissions_per_step) — so stage at most a couple per window.
+        # Mirror _admit_pending's clamp: an explicit 0 means 1 pop/step, not
+        # the unset default of 2.
+        budget = (
+            max(1, self.cfg.max_admissions_per_step)
+            if self.cfg.max_admissions_per_step is not None
+            else 2
+        )
         while len(self._staged) < cap and budget > 0:
             budget -= 1
             with self._queue.mutex:  # peek FIFO head without popping
@@ -1009,6 +1022,10 @@ class ContinuousBatchingEngine:
                     self._pending_admit.discard(req.rid)
                 with self._queue.mutex:
                     self._queue.queue.appendleft(req)
+                    # appendleft bypasses Queue.put's condition protocol: wake
+                    # any consumer blocked in get(timeout=...) now instead of
+                    # at its timeout
+                    self._queue.not_empty.notify()
                 return
             try:
                 self._staged.append((req, self._compute_single(req)))

@@ -77,6 +77,10 @@ class CandidateConfig(NamedTuple):
     # (self-consistent — the unflattened path drew C independent samples of
     # the same distribution for identical rows).
     shared_prefix: bool = True
+    # Verify attention backend: "fused" = the Pallas two-part flash kernel
+    # (kernels/verify_fused.py) — no [rows, T] HBM score transient, the
+    # round-4-identified lever for the linear multi-row verify cost.
+    attn_impl: str = "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +350,7 @@ def _candidate_cycle(
         res = qwen3.forward_block_candidates(
             t_params, tcfg, v_embeds, start + pos_in_blk[None, :],
             state.t_kv, start, tap_ids=dcfg.target_layer_ids, blk_mask=row_mask,
+            attn_impl=cc.attn_impl,
         )
         post_flat = sample(
             qwen3.lm_head(t_params, res.hidden), temperature, k_post
@@ -362,6 +367,7 @@ def _candidate_cycle(
         res = qwen3.forward_block_candidates(
             t_params, tcfg, v_embeds, jnp.broadcast_to(block_positions, (C, B)),
             state.t_kv, start, tap_ids=dcfg.target_layer_ids,
+            attn_impl=cc.attn_impl,
         )
         posterior_all = sample(
             qwen3.lm_head(t_params, res.hidden), temperature, k_post

@@ -461,7 +461,7 @@ def _verify_stage(
 
     # -- verify forward -----------------------------------------------------
     v_embeds = qwen3.embed(t_params, block)
-    if attn_impl == "xla":
+    if attn_impl in ("xla", "fused"):
         # Two-part verify (default since round 4): the committed-context
         # cache is READ-ONLY inside the layer scan (pure xs — no ys), the
         # block rows attend via the LSE-merged two-part attention, and the
@@ -475,7 +475,7 @@ def _verify_stage(
         # docs/RESULTS.md round 4).
         res = qwen3.forward_block_candidates(
             t_params, tcfg, v_embeds, block_positions, state.t_kv, start,
-            tap_ids=dcfg.target_layer_ids, mesh=mesh,
+            tap_ids=dcfg.target_layer_ids, mesh=mesh, attn_impl=attn_impl,
         )
         from dflash_tpu.cache.kv import update_any as _upd
 
@@ -789,7 +789,14 @@ class SpecEngine:
         # static top-k/top-p candidate pool: exact for any top_k <= topk_pool
         # (ops/sampling.py); generate() rejects wider requests loudly
         self.topk_pool = int(topk_pool)
-        self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
+        # Always 128-aligned: the fused two-part verify kernel
+        # (kernels/verify_fused.py) chunks the ctx cache in CK | 512 blocks
+        # and silently falls back to XLA on unaligned caches — aligning here
+        # keeps cc.attn_impl="fused" honest on any engine.  Cost: <=127 spare
+        # cache rows.
+        self.total_len = _round_up(
+            self.prompt_cap + self.max_new_tokens + self.block_size + 1, 128
+        )
         if attn_impl == "pallas":
             # frontier-bounded kernel streams the cache in fixed-size chunks
             self.total_len = _round_up(self.total_len, 512)
