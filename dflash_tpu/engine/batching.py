@@ -20,6 +20,7 @@ import itertools
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -96,6 +97,15 @@ class EngineConfig:
     # identical (lanes are independent and finished lanes freeze on-device).
     # False = the synchronous dispatch->wait->harvest->admit loop.
     overlap: bool = True
+    # Windows in flight before a harvest (overlap mode).  1 = harvest window
+    # N-1 right after dispatching N (the round-2..4 pipeline).  2 = harvest
+    # N-2 after dispatching N: the host never blocks on a still-executing
+    # window, at the price of one more window of retire/admit lag (a freed
+    # lane idles up to depth x steps_per_sync cycles before re-admission).
+    # Measured on the round-5 verify (scripts/measure_serving_depth.py):
+    # whether hiding the harvest block beats the extra idle burn depends on
+    # queue pressure; see docs/measurements/serving_depth.json.
+    pipeline_depth: int = 1
     # Per-request top-k / top-p sampling (the rest of the SGLang client's
     # sampling_params, reference benchmark_sglang.py:42-47).  Static because
     # the filtered-posterior executable costs one extra lax.top_k over the
@@ -338,8 +348,9 @@ class ContinuousBatchingEngine:
         # ((device arrays), lane-epoch snapshot) and the last harvested start
         # values (drives _pick_window without a device sync).  Lane epochs
         # guard against retiring a freshly admitted request with a peek taken
-        # before its admission.
-        self._peek_pending: Optional[tuple] = None
+        # before its admission.  Oldest-first deque of ((device arrays),
+        # lane-epoch snapshot); holds up to cfg.pipeline_depth entries.
+        self._peek_pending: deque = deque()
         self._window_count = 0  # harvested windows (stream_interval cadence)
         self._lane_epoch = np.zeros((R,), np.int64)
         self._last_start_host: Optional[np.ndarray] = None
@@ -578,9 +589,17 @@ class ContinuousBatchingEngine:
         self._step_prefill_tasks()
         # prefill-ahead staging also dispatches behind the running window
         self._stage_pending()
-        if self._peek_pending is not None:
-            self._harvest(self._peek_pending)
-        self._peek_pending = new_peek
+        if new_peek is not None:
+            self._peek_pending.append(new_peek)
+            # keep at most pipeline_depth windows in flight (depth 1 = the
+            # classic dispatch-N / harvest-N-1 cadence)
+            while len(self._peek_pending) > max(1, self.cfg.pipeline_depth):
+                self._harvest(self._peek_pending.popleft())
+        else:
+            # nothing new dispatched: drain every outstanding window so
+            # finished lanes retire even when the engine goes idle
+            while self._peek_pending:
+                self._harvest(self._peek_pending.popleft())
         return (n_active + len(self._prefill_tasks) + self._disagg_pending
                 + len(self._staged))
 
@@ -829,7 +848,7 @@ class ContinuousBatchingEngine:
                 self._queue.put(req)
         self._lane_req = [None] * self.cfg.num_lanes
         self._lane_epoch += 1  # any pending peek describes the dead state
-        self._peek_pending = None
+        self._peek_pending.clear()
         self._last_start_host = None
         self._state = self._empty_state(self.cfg.num_lanes)
 
@@ -1353,7 +1372,7 @@ class ContinuousBatchingEngine:
             active = self.step()
             if (
                 active == 0
-                and self._peek_pending is None
+                and not self._peek_pending
                 and self._queue.empty()
                 and not self._prefill_tasks
                 and self._disagg_pending == 0
@@ -1395,7 +1414,7 @@ class ContinuousBatchingEngine:
                 or self._staged
             ):
                 raise RuntimeError("cannot flush with active requests")
-            self._peek_pending = None
+            self._peek_pending.clear()
             self._last_start_host = None
             self._state = self._empty_state(self.cfg.num_lanes)
             if self._prefix_cache is not None:
@@ -1509,7 +1528,7 @@ class BucketedEngine:
                 active = p.step()
                 busy |= bool(
                     active
-                    or p._peek_pending is not None
+                    or bool(p._peek_pending)
                     or not p._queue.empty()
                     or p._prefill_tasks
                     or p._disagg_pending

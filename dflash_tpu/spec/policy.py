@@ -67,6 +67,21 @@ def _jit_window_fn(tcfg, dcfg, bs, stop_token_ids, ctx_window, n_steps,
     )
 
 
+@lru_cache(maxsize=256)
+def _jit_schedule_window_fn(tcfg, dcfg, schedule, rest_bs, stop_token_ids,
+                            ctx_window, n_rest, max_cycles, la_threshold,
+                            la_streak):
+    return jax.jit(
+        partial(
+            _schedule_window_impl,
+            tcfg=tcfg, dcfg=dcfg, schedule=schedule, rest_bs=rest_bs,
+            stop_token_ids=stop_token_ids, ctx_window=ctx_window,
+            n_rest=n_rest, max_cycles=max_cycles,
+            low_accept_threshold=la_threshold, low_accept_streak=la_streak,
+        )
+    )
+
+
 def _window_impl(
     state,
     t_params,
@@ -139,6 +154,135 @@ def _window_impl(
     return st, taus, lgens, n_ran
 
 
+def _schedule_window_impl(
+    state,
+    t_params,
+    d_params,
+    temperature,
+    max_length,
+    fa_sched,  # tuple of per-cycle forced-acc arrays (or Nones), len(schedule)
+    fa_rest,  # forced-acc array (or None) for the tail cycles
+    *,
+    tcfg,
+    dcfg,
+    schedule,  # static tuple of per-cycle block sizes (unrolled prefix)
+    rest_bs: int,  # block size of the while-loop tail (0 = no tail)
+    stop_token_ids,
+    ctx_window: int,
+    n_rest: int,
+    max_cycles: int,
+    low_accept_threshold: float = 0.0,
+    low_accept_streak: int = 0,
+):
+    """A MIXED-SCHEDULE window: ``schedule``'s cycles unrolled (each at its
+    own static block size), then ``n_rest`` cycles at ``rest_bs`` in the
+    usual while-loop — all in ONE dispatch.
+
+    This is what lets the scheduler's warmup round-robin (reference
+    benchmark_dynamic_schedule.py:149-151) and its periodic probes (:154-159)
+    ride inside windows instead of dispatching singly — the measured entirety
+    of the windowed-dynamic vs windowed-fixed residual
+    (docs/measurements/policy_window_probes.json: probes-off -> 0.76x).
+
+    Prefix cycles that run after the generation finishes are PREDICATED: the
+    small per-request leaves (output_ids, frontier, trace, key) freeze via
+    select, while the KV caches / feature buffer advance harmlessly — their
+    garbage writes land at or beyond the frozen frontier, which nothing ever
+    reads (the same freeze discipline as spec/batched.py, where it is
+    load-bearing for finished lanes).
+
+    The prefix carries no low-acceptance cut: callers only use mixed windows
+    where the host fallback provably cannot fire inside the prefix (a probe
+    cycle is never at the scheduler's current size, so it RESETS the host
+    streak — mirrored here by entering the tail with lac=0; warmup windows
+    are gated on round-robin never producing ``low_accept_streak``
+    consecutive current-size cycles).  The tail reuses the standard
+    on-device fallback cut.
+    """
+    from dflash_tpu.spec.engine import LoopState
+
+    n_pre = len(schedule)
+    N = n_pre + n_rest
+    taus = jnp.zeros((N,), jnp.int32)
+    lgens = jnp.zeros((N,), jnp.float32)
+    active = (
+        (~state.done)
+        & (state.start < max_length)
+        & (state.cycle_idx < max_cycles)
+    )
+    st = state
+    n_ran = jnp.int32(0)
+    prefix_ran = jnp.zeros((), bool)
+    for i, bs in enumerate(schedule):
+        st2, aux = _cycle(
+            st, t_params, d_params, temperature,
+            tcfg=tcfg, dcfg=dcfg, block_size=int(bs),
+            stop_token_ids=stop_token_ids, ctx_window=ctx_window,
+            draft_temperature=temperature, with_aux=True,
+            forced_acc=fa_sched[i],
+        )
+        st = LoopState(
+            output_ids=jnp.where(active, st2.output_ids, st.output_ids),
+            start=jnp.where(active, st2.start, st.start),
+            done=jnp.where(active, st2.done, st.done),
+            cycle_idx=jnp.where(active, st2.cycle_idx, st.cycle_idx),
+            acc_trace=jnp.where(active, st2.acc_trace, st.acc_trace),
+            key=jnp.where(active, st2.key, st.key),
+            t_kv=st2.t_kv,
+            d_kv=st2.d_kv,
+            features=st2.features,
+        )
+        taus = taus.at[i].set(jnp.where(active, aux.tau, 0))
+        lgens = lgens.at[i].set(jnp.where(active, aux.l_gen, 0.0))
+        n_ran = n_ran + active.astype(jnp.int32)
+        prefix_ran = prefix_ran | active
+        active = (
+            active
+            & (~st.done)
+            & (st.start < max_length)
+            & (st.cycle_idx < max_cycles)
+        )
+    if n_rest == 0:
+        return st, taus, lgens, n_ran
+
+    # tail at rest_bs: a ran prefix (probe at bs != current) resets the host
+    # low-accept streak, so the tail's on-device cut enters with lac = 0; if
+    # the prefix did not run, the tail's cond fails on the same conditions
+    # and lac is moot
+    del prefix_ran
+    lac_tail = jnp.int32(0)
+
+    def cond(c):
+        st, taus, lgens, i, lac = c
+        go = (
+            (i < N)
+            & (~st.done)
+            & (st.start < max_length)
+            & (st.cycle_idx < max_cycles)
+        )
+        if low_accept_streak > 0:
+            go = go & (lac < low_accept_streak)
+        return go
+
+    def body(c):
+        st, taus, lgens, i, lac = c
+        st2, aux = _cycle(
+            st, t_params, d_params, temperature,
+            tcfg=tcfg, dcfg=dcfg, block_size=rest_bs,
+            stop_token_ids=stop_token_ids, ctx_window=ctx_window,
+            draft_temperature=temperature, with_aux=True,
+            forced_acc=fa_rest,
+        )
+        ratio = aux.tau.astype(jnp.float32) / jnp.float32(max(1, rest_bs))
+        lac = jnp.where(ratio < low_accept_threshold, lac + 1, jnp.int32(0))
+        return st2, taus.at[i].set(aux.tau), lgens.at[i].set(aux.l_gen), i + 1, lac
+
+    st, taus, lgens, n_ran, _lac = jax.lax.while_loop(
+        cond, body, (st, taus, lgens, n_ran, lac_tail)
+    )
+    return st, taus, lgens, n_ran
+
+
 def policy_generate(
     engine: SpecEngine,
     input_ids: np.ndarray,
@@ -166,8 +310,13 @@ def policy_generate(
     ``window`` > 1 runs steady-state cycles in jitted multi-cycle windows
     (one dispatch per window at the current block size) and feeds the
     scheduler the window's per-cycle tau/l_gen trace with the wall clock
-    amortized across its cycles; warmup and probe cycles still dispatch
-    singly so the reference probing pattern is preserved.  window=1 is the
+    amortized across its cycles.  Warmup and probe cycles ride in
+    MIXED-SCHEDULE windows (round 5): the whole warmup round-robin is one
+    dispatch, and each periodic probe is the first cycle of a current-size
+    window — the probing PATTERN (which sizes run at which cycle indices)
+    is preserved exactly; only the sync cadence changes.  Cycles where the
+    mixed-window gates don't hold (1 candidate, probe_interval < window,
+    near-end clamps) fall back to single dispatches.  window=1 is the
     reference-faithful per-cycle sync.
     """
     if scheduler is None and fixed_block_size is None:
@@ -198,6 +347,37 @@ def policy_generate(
         for bs in candidates
     } if window > 1 else None
     _LAC_OFF = jnp.int32(-(10 ** 9))  # never reaches the streak inside a window
+
+    # Mixed-schedule windows (probe batching): warmup round-robin as ONE
+    # dispatch, and each periodic probe as the first cycle of a
+    # current-size window.  Gates preserve exact per-cycle-mode (bs, tau)
+    # traces: the warmup window requires that the low-accept fallback cannot
+    # fire inside it (round-robin over >= 2 candidates never yields
+    # low_accept_streak consecutive current-size cycles when streak >= 2);
+    # a probe prefix always resets the host streak, so its tail starts at 0.
+    probe_windows = window > 1 and scheduler is not None
+    warmup_sched = None
+    if (
+        probe_windows
+        and scheduler.cfg.warmup_cycles > 0
+        and len(candidates) >= 2
+        and (
+            scheduler.cfg.low_accept_streak >= 2
+            or scheduler.cfg.low_accept_threshold <= 0
+        )
+    ):
+        warmup_sched = tuple(
+            candidates[i % len(candidates)]
+            for i in range(scheduler.cfg.warmup_cycles)
+        )
+
+    def _sched_fn(schedule, rest_bs, n_rest):
+        return _jit_schedule_window_fn(
+            engine.tcfg, engine.dcfg, schedule, rest_bs,
+            engine.stop_token_ids, max_block, n_rest, engine.max_new_tokens,
+            scheduler.cfg.low_accept_threshold if scheduler is not None else 0.0,
+            scheduler.cfg.low_accept_streak if scheduler is not None else 0,
+        )
 
     forced_jnp = None
     if forced_acc_by_bs is not None:
@@ -258,13 +438,27 @@ def policy_generate(
         # already exists; the fused core loop deliberately overshoots+trims
         # instead (a bucketed last cycle costs extra dispatches, docs/
         # PARITY.md).
+        clamped = False
         if scheduler is not None:
             remaining = max_length - start
             fit = [b for b in candidates if b <= remaining]
             if fit and bs > fit[-1]:
                 bs = fit[-1]
+                clamped = True
         fa = forced_jnp[bs] if forced_jnp is not None else None
-        use_window = window_fns is not None and steady_span(cycle_idx) >= window
+        span = steady_span(cycle_idx)
+        use_window = window_fns is not None and span >= window
+        use_warmup = warmup_sched is not None and cycle_idx == 0 and not clamped
+        use_probe = (
+            probe_windows
+            and not use_window
+            and not use_warmup
+            and not clamped
+            and cycle_idx >= scheduler.cfg.warmup_cycles
+            and span == 0
+            and bs != scheduler.current
+            and window <= max(1, scheduler.cfg.probe_interval)
+        )
         c0 = time.perf_counter()
         # draft_temperature=temp is reference-faithful for THIS harness: the
         # dynamic-schedule path samples the draft at temperature (reference
@@ -289,7 +483,32 @@ def policy_generate(
             wall = time.perf_counter() - c0
             taus = np.asarray(taus_d)[:n_ran]
             lgens = np.asarray(lgens_d)[:n_ran]
-            obs = [(int(t), float(g)) for t, g in zip(taus, lgens)]
+            obs = [(int(t), float(g), bs) for t, g in zip(taus, lgens)]
+            per_cycle_s = wall / max(1, n_ran)
+        elif use_warmup or use_probe:
+            schedule = warmup_sched if use_warmup else (bs,)
+            rest_bs = 0 if use_warmup else scheduler.current
+            n_rest = 0 if use_warmup else window - 1
+            if forced_jnp is not None:
+                fa_sched = tuple(forced_jnp[b] for b in schedule)
+                fa_rest = forced_jnp[rest_bs] if n_rest else None
+            else:
+                fa_sched = tuple(None for _ in schedule)
+                fa_rest = None
+            state, taus_d, lgens_d, n_ran_d = _sched_fn(
+                schedule, rest_bs, n_rest
+            )(
+                state, engine.t_params, engine.d_params, temp,
+                jnp.int32(max_length), fa_sched, fa_rest,
+            )
+            n_ran = int(n_ran_d)
+            wall = time.perf_counter() - c0
+            taus = np.asarray(taus_d)[:n_ran]
+            lgens = np.asarray(lgens_d)[:n_ran]
+            bs_seq = (list(schedule) + [rest_bs] * n_rest)[:n_ran]
+            obs = [
+                (int(t), float(g), b) for t, g, b in zip(taus, lgens, bs_seq)
+            ]
             per_cycle_s = wall / max(1, n_ran)
         else:
             state, aux = cycle_fns[bs](
@@ -298,26 +517,26 @@ def policy_generate(
             )
             tau = int(aux.tau)  # device sync — intentional (time-fed policy)
             per_cycle_s = time.perf_counter() - c0
-            obs = [(tau, float(aux.l_gen))]
+            obs = [(tau, float(aux.l_gen), bs)]
             n_ran = 1
         done = bool(state.done)
 
-        for tau, l_gen in obs:
+        for tau, l_gen, bs_i in obs:
             start = start + tau
             if scheduler is not None:
                 scheduler.update(
-                    tau=tau, cycle_s=per_cycle_s, effective_bs=bs,
+                    tau=tau, cycle_s=per_cycle_s, effective_bs=bs_i,
                     cycle_idx=cycle_idx, l_gen=l_gen,
                 )
             acceptance_lengths.append(tau)
-            used_block_sizes.append(bs)
+            used_block_sizes.append(bs_i)
             if collect_trace:
                 snap = scheduler.snapshot() if scheduler is not None else {}
                 cycle_trace.append(
                     {
                         "cycle_idx": cycle_idx,
                         "start_idx": int(start - tau),
-                        "block_size": int(bs),
+                        "block_size": int(bs_i),
                         "tau": tau,
                         "l_gen": l_gen,
                         "acceptance_ratio": tau / max(1, bs),

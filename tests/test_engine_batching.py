@@ -490,3 +490,40 @@ def test_prefill_ahead_abort_while_staged(models):
     assert victim.meta_info["finish_reason"]["type"] == "abort"
     for r in running:
         assert r.error is None and r.output_ids is not None
+
+
+def test_pipeline_depth2_matches_depth1(models):
+    """Two windows in flight (pipeline_depth=2) must produce token-identical
+    outputs to the classic one-deep overlap — the depth only moves WHEN
+    retire/admit decisions happen, never what any lane computes."""
+    prompts = [np.asarray([5 + i, 6, 7, 8 + (i % 3)]) for i in range(7)]
+    outs = []
+    for depth in (1, 2):
+        eng = make_engine(models, num_lanes=3, pipeline_depth=depth)
+        reqs = [eng.submit(p) for p in prompts]
+        eng.run_until_drained()
+        assert all(r.error is None and r.output_ids is not None for r in reqs)
+        assert not eng._peek_pending
+        outs.append([r.output_ids.tolist() for r in reqs])
+    assert outs[0] == outs[1]
+
+
+def test_pipeline_depth2_abort_and_stream(models):
+    """Aborts and streaming consumers still work with a 2-deep pipeline (the
+    harvest they ride arrives one window later)."""
+    eng = make_engine(models, num_lanes=2, pipeline_depth=2)
+    a = eng.submit(np.asarray([5, 6, 7]), stream=True)
+    b = eng.submit(np.asarray([9, 10, 11]))
+    eng.step()
+    assert eng.abort(b.rid)
+    eng.run_until_drained()
+    assert a.error is None and a.output_ids is not None
+    assert b.meta_info["finish_reason"]["type"] == "abort"
+    chunks = []
+    while True:
+        item = a.stream_queue.get(timeout=5)
+        chunks.append(item)
+        if item.get("finished"):
+            break
+    got = [t for c in chunks for t in c.get("token_ids", [])]
+    assert got == a.output_ids[0, 3:].tolist()

@@ -185,8 +185,9 @@ def test_windowed_policy_matches_per_cycle_tokens():
 
 
 def test_windowed_policy_preserves_probe_pattern():
-    """Warmup round-robin and periodic probes still dispatch singly at the
-    reference cycle indices; only steady-state stretches batch."""
+    """Warmup round-robin and periodic probes keep the reference pattern —
+    the same sizes at the same cycle indices — whether they dispatch singly
+    or ride in mixed-schedule windows (round 5 probe batching)."""
     from dflash_tpu.spec.policy import policy_generate
 
     engine = _tiny_policy_engine(max_new=24)
@@ -335,3 +336,32 @@ def test_mid_window_score_switch_is_window_granular():
     # tokens are trajectory-independent — test_windowed_policy_matches_
     # per_cycle_tokens pins that.)
     assert sw1 <= sww <= sw1 + W, (sw1, sww)
+
+
+def test_probe_prefix_window_trace_matches_per_cycle():
+    """With probe_interval >= window the probes ride as window prefixes; the
+    (block_size, tau) trace must equal per-cycle mode exactly at forced tau
+    (the scheduler converges identically; only wall-clock attribution — not
+    any decision input that matters at forced tau — changes)."""
+    from dflash_tpu.spec.policy import policy_generate
+
+    prompt = np.asarray([[3, 4, 5, 6]])
+
+    def run(window):
+        engine = _tiny_policy_engine(max_new=40)
+        n = engine.max_new_tokens
+        forced = {4: np.full((n,), 2, np.int32), 8: np.full((n,), 5, np.int32)}
+        sched = EWMAScheduler(SchedulerConfig(
+            candidates=(4, 8), warmup_cycles=2, probe_interval=6,
+        ))
+        res, used, trace, snap = policy_generate(
+            engine, prompt, scheduler=sched, temperature=0.0,
+            forced_acc_by_bs=forced, window=window,
+        )
+        return res, used
+
+    r1, u1 = run(1)
+    r4, u4 = run(4)
+    assert u1 == u4  # identical size schedule, probes included
+    assert r1.acceptance_lengths == r4.acceptance_lengths
+    np.testing.assert_array_equal(r1.output_ids, r4.output_ids)
