@@ -4,10 +4,13 @@ tap extraction ordering, and robustness to garbage beyond the frontier."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dflash_tpu.cache.kv import init_kv_cache
 from dflash_tpu.core.config import tiny_target_config
 from dflash_tpu.models import qwen3
+
+pytestmark = pytest.mark.smoke  # sub-2-minute CI tier (VERDICT r4 weak #5)
 
 DTYPE = jnp.float32
 

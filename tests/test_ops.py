@@ -11,6 +11,8 @@ from dflash_tpu.ops.norms import rms_norm
 from dflash_tpu.ops.rope import apply_rope, rope_cos_sin
 from dflash_tpu.ops.sampling import acceptance_length, sample
 
+pytestmark = pytest.mark.smoke  # sub-2-minute CI tier (VERDICT r4 weak #5)
+
 
 def test_rms_norm_matches_reference_formula():
     x = np.random.default_rng(0).normal(size=(2, 5, 16)).astype(np.float32)
