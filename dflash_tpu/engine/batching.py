@@ -481,9 +481,10 @@ class ContinuousBatchingEngine:
         # set is EXACT regardless of topk_pool — the pool only seeds the
         # threshold guess (ops/sampling.py exact_filter_thresholds); a
         # top_k far beyond the pool pays bisection rounds inside the cycle,
-        # whose measured cost at 16 lanes is a few percent (docs/RESULTS.md
-        # "Wide top-k"), not a correctness risk — so the round-3 submit()
-        # rejection was dropped.
+        # whose measured cost at 16 lanes is ~0% vs in-pool filtering
+        # (docs/RESULTS.md "Wide top-k" table;
+        # docs/measurements/wide_topk.json), not a correctness risk — so the
+        # round-3 submit() rejection was dropped.
         if top_k >= self.tcfg.vocab_size:
             top_k = 0  # keep-everything == filter off
         req = Request(
