@@ -384,18 +384,10 @@ class ContinuousBatchingEngine:
             forced = jnp.asarray(
                 np.clip(taus, 1, cfg.block_size).astype(np.int32) - 1
             )
+        self._forced_acc = forced
+
         def make_cycle_fn(n_steps: int):
-            return jax.jit(
-                partial(
-                    batched_cycles,
-                    tcfg=tcfg, dcfg=dcfg, block_size=cfg.block_size,
-                    stop_token_ids=tuple(cfg.stop_token_ids),
-                    n_steps=n_steps,
-                    forced_acc=forced,
-                    topk_pool=cfg.topk_pool,
-                ),
-                donate_argnums=(0,),
-            )
+            return self._make_cycle_fn(n_steps)
 
         self._max_window = max(1, cfg.steps_per_sync)
         # Power-of-two window ladder (1, 2, 4, ..., steps_per_sync): bounded
@@ -407,6 +399,7 @@ class ContinuousBatchingEngine:
                 sizes.add(n)
                 n *= 2
         self._cycle_fns = {n: make_cycle_fn(n) for n in sorted(sizes)}
+        del make_cycle_fn
         # Running estimate of tokens committed per cycle (tau); refined from
         # retired requests' measured acceptance.
         self._tau_est = max(1.0, cfg.block_size / 2)
@@ -418,6 +411,35 @@ class ContinuousBatchingEngine:
                 cfg.prefix_cache_mb * (1 << 20), cfg.prompt_bucket
             )
         self._state = self._empty_state(R)
+
+    def _make_cycle_fn(self, n_steps: int):
+        return jax.jit(
+            partial(
+                batched_cycles,
+                tcfg=self.tcfg, dcfg=self.dcfg,
+                block_size=self.cfg.block_size,
+                stop_token_ids=tuple(self.cfg.stop_token_ids),
+                n_steps=n_steps,
+                forced_acc=self._forced_acc,
+                topk_pool=self.cfg.topk_pool,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def set_steps_per_sync(self, n: int) -> None:
+        """Re-point the scheduling window size on a live (idle) engine.
+
+        For interleaved A/B measurement (scripts/measure_sps_ab.py): two
+        whole engines double the device memory; this swaps only the window
+        executable (compiled lazily per size, memoized)."""
+        import dataclasses
+
+        if any(r is not None for r in self._lane_req) or self._peek_pending:
+            raise RuntimeError("set_steps_per_sync needs an idle engine")
+        self.cfg = dataclasses.replace(self.cfg, steps_per_sync=int(n))
+        self._max_window = max(1, int(n))
+        if self._max_window not in self._cycle_fns:
+            self._cycle_fns[self._max_window] = self._make_cycle_fn(self._max_window)
 
     # -- state management ---------------------------------------------------
 

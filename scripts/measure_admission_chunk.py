@@ -102,7 +102,7 @@ def main() -> None:
                 injected = True
             if (
                 active == 0 and injected
-                and engine._peek_pending is None
+                and not engine._peek_pending
                 and engine._queue.empty()
                 and not engine._prefill_tasks
                 and all(r is None for r in engine._lane_req)

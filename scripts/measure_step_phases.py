@@ -108,9 +108,13 @@ def main() -> None:
             cnt["windows"] += 1
         engine._step_prefill_tasks()
         engine._stage_pending()
-        if engine._peek_pending is not None:
-            engine._harvest(engine._peek_pending)
-        engine._peek_pending = new_peek
+        if new_peek is not None:
+            engine._peek_pending.append(new_peek)
+            while len(engine._peek_pending) > max(1, engine.cfg.pipeline_depth):
+                engine._harvest(engine._peek_pending.popleft())
+        else:
+            while engine._peek_pending:
+                engine._harvest(engine._peek_pending.popleft())
         cnt["steps"] += 1
         acc["step_total"] += time.perf_counter() - t_step
         return (n_active + len(engine._prefill_tasks) + engine._disagg_pending
