@@ -294,6 +294,7 @@ def policy_generate(
     collect_trace: bool = False,
     forced_acc_by_bs: Optional[dict] = None,
     window: int = 1,
+    probe_windows: bool = True,
 ):
     """Generate with a per-cycle block-size policy.
 
@@ -355,7 +356,7 @@ def policy_generate(
     # fire inside it (round-robin over >= 2 candidates never yields
     # low_accept_streak consecutive current-size cycles when streak >= 2);
     # a probe prefix always resets the host streak, so its tail starts at 0.
-    probe_windows = window > 1 and scheduler is not None
+    probe_windows = probe_windows and window > 1 and scheduler is not None
     warmup_sched = None
     if (
         probe_windows
