@@ -35,6 +35,8 @@ def main() -> None:
     p.add_argument("--quant", default="int8")
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--impls", default="xla,fused",
+                   help="comma list of verify attention impls to A/B")
     args = p.parse_args()
 
     import jax
@@ -60,6 +62,7 @@ def main() -> None:
 
     tcfg, dcfg, t_params, d_params = _resolve_models(_A())
     B = dcfg.block_size
+    impls = tuple(args.impls.split(","))
     engines = {
         impl: SpecEngine(
             tcfg, dcfg, t_params, d_params,
@@ -67,7 +70,7 @@ def main() -> None:
             prompt_cap=128, prompt_bucket=128, stop_token_ids=(),
             attn_impl=impl,
         )
-        for impl in ("xla", "fused")
+        for impl in impls
     }
     prompts = [
         np.random.default_rng(s).integers(1, tcfg.vocab_size - 2, size=(1, 117))
@@ -93,7 +96,7 @@ def main() -> None:
     cc_base = dict(mode="fixed_prefix_rank", rank_top_k=4, fixed_prefix_len=2,
                    shared_prefix=True)
 
-    for impl in ("xla", "fused"):
+    for impl in impls:
         eng = engines[impl]
         forced = fa(TAU_VAN)
         ms, sp = med(lambda pr, e=eng, f=forced: e.generate(
@@ -107,7 +110,7 @@ def main() -> None:
         emit(f"cand p2k4c4 FLAT [{impl}]", ms, sp, TAU_CAND)
 
     # matched-tau pure cycle cost (both arms tau=7.48)
-    for impl in ("xla", "fused"):
+    for impl in impls:
         eng = engines[impl]
         forced = fa(TAU_MATCH)
         ms, sp = med(lambda pr, e=eng, f=forced: e.generate(
@@ -125,7 +128,7 @@ def main() -> None:
         (r for r in rows if r["label"].startswith("vanilla B=16 [")),
         key=lambda r: r["tpot_ms"],
     )
-    for impl in ("xla", "fused"):
+    for impl in impls:
         c = next(r for r in rows if r["label"] == f"cand p2k4c4 FLAT [{impl}]")
         prem = (c["tpot_ms"] * c["tau"]) / (best_van["tpot_ms"] * best_van["tau"])
         vs = best_van["tpot_ms"] / c["tpot_ms"]
