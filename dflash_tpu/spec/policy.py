@@ -449,7 +449,15 @@ def policy_generate(
         fa = forced_jnp[bs] if forced_jnp is not None else None
         span = steady_span(cycle_idx)
         use_window = window_fns is not None and span >= window
-        use_warmup = warmup_sched is not None and cycle_idx == 0 and not clamped
+        # warmup window only when no cycle inside it could hit the near-end
+        # clamp (per-cycle mode would shrink those; remaining >> this at a
+        # generation's start, the only place warmup runs)
+        use_warmup = (
+            warmup_sched is not None
+            and cycle_idx == 0
+            and not clamped
+            and (max_length - start) >= sum(warmup_sched)
+        )
         use_probe = (
             probe_windows
             and not use_window
