@@ -329,9 +329,7 @@ class ContinuousBatchingEngine:
                 "(handoff rows are in the cache's own representation)"
             )
         R = cfg.num_lanes
-        # 128-aligned so the fused verify kernel (kernels/verify_fused.py)
-        # never silently falls back to XLA on an unaligned cache
-        self.total_len = -(-(cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1) // 128) * 128
+        self.total_len = cfg.prompt_cap + cfg.max_new_tokens + cfg.block_size + 1
         self.max_cycles = cfg.max_new_tokens
 
         self._queue: "queue.Queue[Request]" = queue.Queue()

@@ -789,17 +789,20 @@ class SpecEngine:
         # static top-k/top-p candidate pool: exact for any top_k <= topk_pool
         # (ops/sampling.py); generate() rejects wider requests loudly
         self.topk_pool = int(topk_pool)
-        # Always 128-aligned: the fused two-part verify kernel
-        # (kernels/verify_fused.py) chunks the ctx cache in CK | 512 blocks
-        # and silently falls back to XLA on unaligned caches — aligning here
-        # keeps cc.attn_impl="fused" honest on any engine.  Cost: <=127 spare
-        # cache rows.
-        self.total_len = _round_up(
-            self.prompt_cap + self.max_new_tokens + self.block_size + 1, 128
-        )
+        self.total_len = self.prompt_cap + self.max_new_tokens + self.block_size + 1
         if attn_impl == "pallas":
             # frontier-bounded kernel streams the cache in fixed-size chunks
             self.total_len = _round_up(self.total_len, 512)
+        elif attn_impl == "fused":
+            # The fused two-part verify kernel (kernels/verify_fused.py)
+            # chunks the ctx cache in CK | 512 blocks and silently falls back
+            # to XLA on unaligned caches, so fused engines align.  NOT done
+            # unconditionally: the spare rows cost real HBM at batched lane
+            # counts (24 lanes OOM'd) and ~2% single-stream TPOT (bigger
+            # full-buffer attention reads) — measured round 5.  A
+            # CandidateConfig(attn_impl="fused") therefore needs an engine
+            # built with attn_impl="fused" to actually engage the kernel.
+            self.total_len = _round_up(self.total_len, 128)
 
     def _resolve_chunk(self, padded_len: int) -> Optional[int]:
         if self.prefill_chunk == "auto":
