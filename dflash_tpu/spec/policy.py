@@ -448,7 +448,29 @@ def policy_generate(
                 clamped = True
         fa = forced_jnp[bs] if forced_jnp is not None else None
         span = steady_span(cycle_idx)
-        use_window = window_fns is not None and span >= window
+        # Partial spans dispatch as the largest pow2 window that fits (the
+        # ladder reuses _jit_window_fn per size, bounded compiles).  Without
+        # this, the cycles between a probe window's end and the next probe
+        # boundary dispatched SINGLY — and since the scheduler is wall-clock
+        # fed, the current size's cycle_hat absorbed expensive single-
+        # dispatch walls while probed sizes only ever saw cheap amortized
+        # window walls, so score_hat[current] sank and the scheduler
+        # thrashed (measured: tau 7.31 -> 6.48, usage uniform across sizes,
+        # docs/measurements/policy_window_r5.json first attempt).  Uniform
+        # window amortization keeps per-size cost estimates comparable.
+        eff_w = 0
+        if window_fns is not None and span > 0:
+            eff_w = min(window, span)
+            if scheduler is not None:
+                # never let a window cross the near-end effective-block
+                # clamp boundary (remaining < bs per-cycle would shrink bs):
+                # bound by the worst-case cycles until remaining < bs, so
+                # every cycle inside the window is provably unclamped and
+                # the tail falls back to exact per-cycle dispatch
+                eff_w = min(eff_w, (max_length - start) // bs)
+            if eff_w > 0:
+                eff_w = 1 << (eff_w.bit_length() - 1)
+        use_window = eff_w > 1
         # warmup window only when no cycle inside it could hit the near-end
         # clamp (per-cycle mode would shrink those; remaining >> this at a
         # generation's start, the only place warmup runs)
@@ -467,6 +489,8 @@ def policy_generate(
             and span == 0
             and bs != scheduler.current
             and window <= max(1, scheduler.cfg.probe_interval)
+            # no cycle in the mixed window may hit the near-end clamp
+            and (max_length - start) >= window * max(bs, scheduler.current)
         )
         c0 = time.perf_counter()
         # draft_temperature=temp is reference-faithful for THIS harness: the
@@ -484,7 +508,13 @@ def policy_generate(
                 if scheduler is not None and bs == scheduler.current
                 else _LAC_OFF
             )
-            state, taus_d, lgens_d, n_ran_d = window_fns[bs](
+            win_fn = window_fns[bs] if eff_w == window else _jit_window_fn(
+                engine.tcfg, engine.dcfg, bs, engine.stop_token_ids,
+                max_block, eff_w, engine.max_new_tokens,
+                scheduler.cfg.low_accept_threshold if scheduler is not None else 0.0,
+                scheduler.cfg.low_accept_streak if scheduler is not None else 0,
+            )
+            state, taus_d, lgens_d, n_ran_d = win_fn(
                 state, engine.t_params, engine.d_params, temp,
                 jnp.int32(max_length), fa, lac0,
             )

@@ -340,9 +340,14 @@ def test_mid_window_score_switch_is_window_granular():
 
 def test_probe_prefix_window_trace_matches_per_cycle():
     """With probe_interval >= window the probes ride as window prefixes; the
-    (block_size, tau) trace must equal per-cycle mode exactly at forced tau
-    (the scheduler converges identically; only wall-clock attribution — not
-    any decision input that matters at forced tau — changes)."""
+    (block_size, tau) trace must equal per-cycle mode exactly whenever the
+    schedule is driven by the deterministic triggers (warmup round-robin,
+    periodic probes, low-accept fallback).  Wall-clock score switches are
+    disabled with an unreachable margin: they are timing-fed and
+    window-granular BY DESIGN (their own test below), and on CPU their
+    per-cycle walls differ enough between dispatch modes to flip near the
+    default 8% margin — that is attribution noise, not the pattern this
+    test pins."""
     from dflash_tpu.spec.policy import policy_generate
 
     prompt = np.asarray([[3, 4, 5, 6]])
@@ -353,6 +358,7 @@ def test_probe_prefix_window_trace_matches_per_cycle():
         forced = {4: np.full((n,), 2, np.int32), 8: np.full((n,), 5, np.int32)}
         sched = EWMAScheduler(SchedulerConfig(
             candidates=(4, 8), warmup_cycles=2, probe_interval=6,
+            switch_margin=1e9,
         ))
         res, used, trace, snap = policy_generate(
             engine, prompt, scheduler=sched, temperature=0.0,
