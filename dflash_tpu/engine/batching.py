@@ -62,11 +62,11 @@ class EngineConfig:
     # reps, median 3373 vs 3331; window microbench 23.6 vs 25.5 ms/cycle —
     # docs/measurements/{sps_ab,window_exec*}.json).  1 pays two dispatches
     # + a peek per cycle — the pipeline can't fully hide that.
-    # Measurement scope: the 2-vs-4 A/B ran on the qwen3-4b geometry at
-    # conc 16 (deltas inside the documented ±10% run-to-run band; the sign
-    # was consistent across all pairs).  Other presets/concurrencies inherit
-    # this default unmeasured — re-run scripts/measure_sps_ab.py before
-    # leaning on it for a different geometry.
+    # Settled round 5 (scripts/measure_sps_ab.py, 8 interleaved pairs per
+    # concurrency on the qwen3-4b geometry): sps=4 wins 7/8 pairs at conc 16
+    # (median 3497 vs 3421) and 8/8 at conc 32 (3675 vs 3631) —
+    # docs/measurements/sps_ab_r5.json.  Other geometries inherit this
+    # default; re-run the script before leaning on it elsewhere.
     steps_per_sync: int = 4
     # Adaptive windows: size each dispatch to the earliest predicted lane
     # finish (power-of-two buckets <= steps_per_sync, one compile each), so a

@@ -83,19 +83,21 @@ def main() -> None:
         for s in range(1 + args.samples)
     ]
 
-    def sched_cfg():
-        return SchedulerConfig(
+    def sched_cfg(**kw):
+        base = dict(
             candidates=tuple(candidates), mode="ewma", warmup_cycles=6,
             probe_interval=args.probe_interval,
         )
+        base.update(kw)
+        return SchedulerConfig(**base)
 
-    def one(prompt, mode, probe_windows, force_current=None):
+    def one(prompt, mode, probe_windows, force_current=None, cfg_kw=None):
         sched = None
         fixed = None
         if mode == "fixed":
             fixed = 16
         else:
-            sched = EWMAScheduler(sched_cfg())
+            sched = EWMAScheduler(sched_cfg(**(cfg_kw or {})))
             if force_current is not None:
                 sched.current = force_current
         res, used, _, snap = policy_generate(
@@ -105,18 +107,25 @@ def main() -> None:
         )
         return res, used, snap
 
-    def run(label, mode, probe_windows):
-        # warm every executable this mode can reach: one generation per
-        # forced-current so all (probe, current) mixed pairs compile
+    def run(label, mode, probe_windows, cfg_kw=None):
+        # warm every executable this mode can reach: one full generation per
+        # PINNED current (switch_margin=inf disables score switches, so the
+        # trajectory deterministically touches every (probe != current) mixed
+        # pair via the probe rotation plus the window ladder sizes at that
+        # current) — without the pin, a mid-warm switch leaves pairs
+        # uncompiled and they poison measured reps (first attempt: spread
+        # [3.2, 3.3, 9.8, 12.4] ms)
         if mode == "fixed":
             one(prompts[0], mode, probe_windows)
         else:
             for cur in (candidates if probe_windows else [candidates[-1]]):
-                one(prompts[0], mode, probe_windows, force_current=cur)
+                one(prompts[0], mode, probe_windows, force_current=cur,
+                    cfg_kw={"switch_margin": 1e9})
         tpots, taus, switch_rates, usage = [], [], [], {}
         for i in range(args.samples):
             t0 = time.perf_counter()
-            res, used, snap = one(prompts[1 + i], mode, probe_windows)
+            res, used, snap = one(prompts[1 + i], mode, probe_windows,
+                                  cfg_kw=cfg_kw)
             del t0
             tpots.append(res.time_per_output_token)
             taus.append(float(np.mean(res.acceptance_lengths)))
@@ -142,6 +151,13 @@ def main() -> None:
         run("fixed-16 windowed", "fixed", False),
         run("dynamic probes-single (r4)", "ewma", False),
         run("dynamic probes-batched (r5)", "ewma", True),
+        # churn-damped hysteresis: amortized window walls jitter ±10%
+        # through the tunnel, and at flat per-size cycle costs the 8%
+        # default margin lets noise flip scores; stronger hysteresis holds
+        # the converged size without changing the probing pattern
+        run("dynamic probes-batched tuned", "ewma", True,
+            cfg_kw={"switch_margin": 0.2, "required_streak": 3,
+                    "cooldown_cycles": 12}),
     ]
     fixed_t = rows[0]["tpot_ms"]
     for r in rows[1:]:
