@@ -529,3 +529,20 @@ def test_pipeline_depth2_abort_and_stream(models):
             break
     got = [t for c in chunks for t in c.get("token_ids", [])]
     assert got == a.output_ids[0, 3:].tolist()
+
+
+def test_set_steps_per_sync_swaps_window(models):
+    """The A/B helper swaps the scheduling window on an idle engine (same
+    device buffers, lazily compiled executable) and refuses on a busy one."""
+    eng = make_engine(models, num_lanes=2, steps_per_sync=2)
+    a = eng.submit(np.asarray([5, 6, 7]))
+    eng.step()
+    with pytest.raises(RuntimeError):
+        eng.set_steps_per_sync(4)
+    eng.run_until_drained()
+    ref = a.output_ids
+    eng.set_steps_per_sync(4)
+    assert eng._max_window == 4 and 4 in eng._cycle_fns
+    b = eng.submit(np.asarray([5, 6, 7]))
+    eng.run_until_drained()
+    np.testing.assert_array_equal(b.output_ids, ref)  # window size never changes tokens
