@@ -107,6 +107,9 @@ def build(tcfg, dcfg, t_params, d_params, *, disagg, num_lanes, max_new,
             num_lanes=num_lanes, max_new_tokens=max_new,
             block_size=dcfg.block_size, prompt_cap=prompt_cap,
             kv_quant=kv_quant, emulate_tau=7.46,
+            # sps=2 matches the round-4-proven memory shape for 16 lanes x
+            # 2048-prompt buffers (the sps=4 default OOM'd this workload)
+            steps_per_sync=2,
         ),
     )
 
