@@ -39,6 +39,19 @@ class SchedulerConfig:
     probe_interval: int = 24
     low_accept_threshold: float = 0.25
     low_accept_streak: int = 2
+    # Shared cycle-cost estimate: ONE global EWMA of cycle seconds feeds
+    # every candidate's score instead of per-size EWMAs.  Rationale
+    # (round 5, docs/measurements/policy_window_r5*.json): through a
+    # high-RTT runtime the per-cycle wall is dominated by dispatch
+    # amortization, so per-size cost estimates measure HOW a size happened
+    # to be dispatched (probe prefix vs steady window vs single), not what
+    # it costs — noise flips scores and the scheduler churns.  On hardware
+    # where cycle cost is flat across block sizes (measured flat over bs
+    # 12-19 on both the reference's A100, results.md:371-373, and v5e),
+    # sharing the cost term removes the artifact while probes keep doing
+    # their real job: refreshing per-size tau estimates.  Off by default
+    # (reference-faithful per-size costs).
+    shared_cost: bool = False
     # ADL parameters
     adl_rho: float = 0.35
     adl_delta: float = 2.0
@@ -83,6 +96,7 @@ class EWMAScheduler:
         self.low_accept_count = 0
         self.probe_cursor = 0
         self.switch_count = 0
+        self.shared_cycle_hat: Optional[float] = None
 
         self.adl_lgen_hat: Optional[float] = None
         self.adl_lacc_hat: Optional[float] = None
@@ -138,9 +152,18 @@ class EWMAScheduler:
         a = cfg.ewma_alpha
         self.tau_hat[effective_bs] = _ewma(self.tau_hat[effective_bs], tau, a)
         self.cycle_hat[effective_bs] = _ewma(self.cycle_hat[effective_bs], cycle_s, a)
-        self.score_hat[effective_bs] = self.tau_hat[effective_bs] / max(
-            1e-12, self.cycle_hat[effective_bs]
-        )
+        if cfg.shared_cost:
+            self.shared_cycle_hat = _ewma(self.shared_cycle_hat, cycle_s, a)
+            c = max(1e-12, self.shared_cycle_hat)
+            # every size's score re-derives from the shared cost so stale
+            # per-size denominators can't linger
+            for b, t in self.tau_hat.items():
+                if t is not None:
+                    self.score_hat[b] = t / c
+        else:
+            self.score_hat[effective_bs] = self.tau_hat[effective_bs] / max(
+                1e-12, self.cycle_hat[effective_bs]
+            )
         self.obs_count[effective_bs] += 1
 
         if cfg.mode == "adl_ewma" and l_gen is not None:

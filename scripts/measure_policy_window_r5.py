@@ -158,6 +158,11 @@ def main() -> None:
         run("dynamic probes-batched tuned", "ewma", True,
             cfg_kw={"switch_margin": 0.2, "required_streak": 3,
                     "cooldown_cycles": 12}),
+        # shared cycle-cost scoring (sched/ewma.py shared_cost): per-size
+        # cost EWMAs are dispatch-cadence artifacts through a high-RTT
+        # runtime; one shared denominator makes score ordering follow tau
+        run("dynamic probes-batched shared-cost", "ewma", True,
+            cfg_kw={"shared_cost": True}),
     ]
     fixed_t = rows[0]["tpot_ms"]
     for r in rows[1:]:

@@ -371,3 +371,28 @@ def test_probe_prefix_window_trace_matches_per_cycle():
     assert u1 == u4  # identical size schedule, probes included
     assert r1.acceptance_lengths == r4.acceptance_lengths
     np.testing.assert_array_equal(r1.output_ids, r4.output_ids)
+
+
+def test_shared_cost_mode_ignores_dispatch_cadence_bias():
+    """With shared_cost=True, a size observed only through expensive
+    dispatches (inflated cycle_s) is scored by the SHARED cost estimate, so
+    the higher-tau size wins regardless of how its observations were
+    dispatched — the per-size-cost mode flips under the same feed."""
+    def feed(shared):
+        s = EWMAScheduler(SchedulerConfig(
+            candidates=(8, 16), warmup_cycles=0, probe_interval=0,
+            cooldown_cycles=0, required_streak=1, shared_cost=shared,
+        ))
+        s.current = 8
+        for i in range(12):
+            # size 16: higher tau but always seen via slow single dispatches
+            s.update(tau=7.5, cycle_s=0.02, effective_bs=16, cycle_idx=i * 2)
+            # size 8: lower tau, cheap amortized windows
+            s.update(tau=4.0, cycle_s=0.008, effective_bs=8, cycle_idx=i * 2 + 1)
+        return s
+
+    biased = feed(shared=False)
+    assert biased.current == 8  # per-size costs: 4.0/0.008 > 7.5/0.02
+    fair = feed(shared=True)
+    assert fair.current == 16  # shared cost: 7.5 > 4.0 at equal denominator
+    assert fair.shared_cycle_hat is not None
