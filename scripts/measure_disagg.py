@@ -123,7 +123,7 @@ def main() -> None:
     p.add_argument("--num-lanes", type=int, default=16)
     p.add_argument("--max-new-tokens", type=int, default=256)
     p.add_argument("--short-prompt", type=int, default=64)
-    p.add_argument("--long-prompt", type=int, default=2040)
+    p.add_argument("--long-prompt", type=int, default=1016)
     p.add_argument("--n-long", type=int, default=8)
     p.add_argument("--reps", type=int, default=2)
     args = p.parse_args()
@@ -160,7 +160,7 @@ def main() -> None:
 
         tcfg, dcfg, t_params, d_params = _resolve_models(_A())
         kw = dict(num_lanes=args.num_lanes, max_new=args.max_new_tokens,
-                  prompt_cap=2048)
+                  prompt_cap=1024)
         wkw = dict(num_lanes=args.num_lanes, short_prompt=args.short_prompt,
                    long_prompt=args.long_prompt, n_long=args.n_long)
         for disagg in (False, True):
