@@ -43,6 +43,8 @@ def main() -> None:
     p.add_argument("--candidates", default="8,12,16")
     p.add_argument("--window", type=int, default=16)
     p.add_argument("--probe-interval", type=int, default=24)
+    p.add_argument("--only", default=None,
+                   help="substring filter: run only matching rows")
     args = p.parse_args()
 
     import jax
@@ -147,23 +149,26 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         return row
 
-    rows = [
-        run("fixed-16 windowed", "fixed", False),
-        run("dynamic probes-single (r4)", "ewma", False),
-        run("dynamic probes-batched (r5)", "ewma", True),
+    plan = [
+        ("fixed-16 windowed", "fixed", False, None),
+        ("dynamic probes-single (r4)", "ewma", False, None),
+        ("dynamic probes-batched (r5)", "ewma", True, None),
         # churn-damped hysteresis: amortized window walls jitter ±10%
         # through the tunnel, and at flat per-size cycle costs the 8%
         # default margin lets noise flip scores; stronger hysteresis holds
         # the converged size without changing the probing pattern
-        run("dynamic probes-batched tuned", "ewma", True,
-            cfg_kw={"switch_margin": 0.2, "required_streak": 3,
-                    "cooldown_cycles": 12}),
+        ("dynamic probes-batched tuned", "ewma", True,
+         {"switch_margin": 0.2, "required_streak": 3, "cooldown_cycles": 12}),
         # shared cycle-cost scoring (sched/ewma.py shared_cost): per-size
         # cost EWMAs are dispatch-cadence artifacts through a high-RTT
         # runtime; one shared denominator makes score ordering follow tau
-        run("dynamic probes-batched shared-cost", "ewma", True,
-            cfg_kw={"shared_cost": True}),
+        ("dynamic probes-batched shared-cost", "ewma", True,
+         {"shared_cost": True}),
     ]
+    if args.only:
+        keep = [p_ for p_ in plan if args.only in p_[0] or p_[1] == "fixed"]
+        plan = keep
+    rows = [run(lbl, mode, pw, cfg_kw=kw) for lbl, mode, pw, kw in plan]
     fixed_t = rows[0]["tpot_ms"]
     for r in rows[1:]:
         print(json.dumps({
