@@ -70,6 +70,7 @@ def _kernel(
         ks_ref = vs_ref = None
 
     lane = pl.program_id(0)
+    h = pl.program_id(1)
     c = pl.program_id(2)
     NC = pl.num_programs(2)
     start = starts_ref[lane]
@@ -96,8 +97,13 @@ def _kernel(
         )  # [GB, CK]
         if quant:
             # per-row key scales fold into the scores exactly as the XLA
-            # path's `s1 * (ks * scale)` (ops/attention.py)
-            s = s * (ks_ref[0, 0][None, :] * scale)
+            # path's `s1 * (ks * scale)` (ops/attention.py).  The scale
+            # block holds the full [n_kv, T] slab (tiny, fetched once —
+            # Mosaic requires the last two block dims divisible by (8, 128)
+            # or full, which rules out per-head/per-chunk sub-blocks);
+            # pick this head's chunk here.
+            ks = ks_ref[0, h, pl.ds(c * CK, CK)]
+            s = s * (ks[None, :] * scale)
         else:
             s = s * scale
         key_pos = c * CK + jax.lax.broadcasted_iota(jnp.int32, (GB, CK), 1)
@@ -112,7 +118,8 @@ def _kernel(
         p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         if quant:
-            p = p * vs_ref[0, 0][None, :]  # value scales fold into weights
+            # value scales fold into weights (full slab, chunk sliced)
+            p = p * vs_ref[0, h, pl.ds(c * CK, CK)][None, :]
         v = cv_ref[0].astype(q.dtype)  # [CK, d]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
@@ -169,9 +176,8 @@ def _fused_lanes(
         lv = jnp.maximum((starts_ref[l] + CK - 1) // CK - 1, 0)
         return (l, jnp.minimum(c, lv), h)
 
-    def scale_idx(l, h, c, starts_ref):  # scales are [L, n_kv, T]
-        lv = jnp.maximum((starts_ref[l] + CK - 1) // CK - 1, 0)
-        return (l, h, jnp.minimum(c, lv))
+    def scale_idx(l, h, c, starts_ref):  # scales are [L, n_kv, T]; full slab
+        return (l, 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, GB, d), lambda l, h, c, s: (l, h, 0, 0),
@@ -191,8 +197,8 @@ def _fused_lanes(
     operands = [q, ctx_k, ctx_v, blk_k, blk_v, mask_f]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, CK), scale_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CK), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, T), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, T), scale_idx, memory_space=pltpu.VMEM),
         ]
         operands += [ctx_ks, ctx_vs]
 
