@@ -479,6 +479,7 @@ def forward_prefill(
     tap_ids: Tuple[int, ...] = (),
     mesh=None,
     seq_axis: Optional[str] = None,
+    attn_impl: str = "auto",  # "auto" | "xla" | "flash"
 ) -> PrefillResult:
     """Cache-free causal prefill over S prompt tokens.
 
@@ -498,6 +499,19 @@ def forward_prefill(
     causal = (
         positions[0][:, None] >= positions[0][None, :]
     )  # [S, S] — padded rows (pos >= prompt_len) are never attended by real rows
+    # flash prefill crossover: measured on v5e (docs/RESULTS.md TTFT table,
+    # round 5) — XLA wins at short prompts, the tiled kernel past ~2k where
+    # score transients dominate.  Requires the kernel-supported geometry and
+    # the positional (arange) causal structure, which forward_prefill's
+    # mask always has.
+    from dflash_tpu.kernels import prefill_flash as _pf
+
+    if attn_impl == "flash":
+        use_flash = _pf.supported(S, d) and B == 1
+    elif attn_impl == "auto":
+        use_flash = S >= 2048 and _pf.supported(S, d) and B == 1
+    else:
+        use_flash = False
 
     lp = params["layers"]
     L = cfg.num_hidden_layers
@@ -524,6 +538,15 @@ def forward_prefill(
             from dflash_tpu.parallel.ring import ring_prefill_attention
 
             attn = ring_prefill_attention(q, k, v, scale, mesh, seq_axis)
+        elif use_flash:
+            # Tiled causal flash kernel (kernels/prefill_flash.py): past
+            # ~2k tokens the XLA path's [nh, S, S] score transients turn
+            # the prefill quadratic-bound (TTFT table, docs/RESULTS.md);
+            # the kernel keeps score tiles in VMEM and skips the causal
+            # upper triangle's fetches and FLOPs.
+            from dflash_tpu.kernels.prefill_flash import flash_prefill_attention
+
+            attn = flash_prefill_attention(q, k, v, scale)
         else:
             attn = gqa_attention(q, k, v, causal, scale)
         attn = linear(attn, p["wo"], out_dtype=hidden.dtype)
