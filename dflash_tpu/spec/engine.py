@@ -806,11 +806,15 @@ class SpecEngine:
 
     def _resolve_chunk(self, padded_len: int) -> Optional[int]:
         if self.prefill_chunk == "auto":
-            if padded_len <= 4096:
+            # Round 5: the flash prefill kernel removed the O(P²) transient
+            # that made chunking win past 4k (8k: full+flash 763 ms vs
+            # chunked 1915 — docs/RESULTS.md TTFT table), and the kernel
+            # engages automatically for supported geometries — so "auto"
+            # now stays on the one-dispatch full prefill until far past any
+            # measured crossover.  Chunking remains for explicit settings
+            # (peak-memory control at extreme lengths).
+            if padded_len <= 16384:
                 return None
-            # chunked prefill needs chunk | padded_len; prompts are padded to
-            # prompt_bucket multiples (128 by default), so walk down from the
-            # measured-best 512 to a divisor — full prefill if none divides
             for c in (512, 256, 128):
                 if padded_len % c == 0:
                     return c

@@ -27,7 +27,7 @@ def main() -> None:
     p.add_argument("--out", default="docs/measurements/prefill_flash.json")
     p.add_argument("--model", default="qwen3-4b")
     p.add_argument("--quant", default="int8")
-    p.add_argument("--lens", default="1024,2048,4096,8192")
+    p.add_argument("--lens", default="512,1024,2048,4096,8192")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
@@ -85,20 +85,23 @@ def main() -> None:
         prompt = jnp.asarray(
             np.random.default_rng(99).integers(1, tcfg.vocab_size - 2, (1, S))
         )
-        med_x, sp_x, res_x = run_impl("xla", S, prompt)
         med_f, sp_f, res_f = run_impl("flash", S, prompt)
-        # numerics: hidden states of the two impls must agree to bf16 noise
-        dh = float(jnp.max(jnp.abs(
-            res_x.hidden.astype(jnp.float32) - res_f.hidden.astype(jnp.float32)
-        )))
-        row = {
-            "S": S, "xla_ms": round(med_x * 1e3, 1),
-            "flash_ms": round(med_f * 1e3, 1),
-            "speedup_x": round(med_x / med_f, 3),
-            "max_hidden_diff": round(dh, 4),
-            "xla_spread": [round(w * 1e3, 1) for w in sp_x],
-            "flash_spread": [round(w * 1e3, 1) for w in sp_f],
-        }
+        row = {"S": S, "flash_ms": round(med_f * 1e3, 1),
+               "flash_spread": [round(w * 1e3, 1) for w in sp_f]}
+        try:
+            med_x, sp_x, res_x = run_impl("xla", S, prompt)
+            dh = float(jnp.max(jnp.abs(
+                res_x.hidden.astype(jnp.float32)
+                - res_f.hidden.astype(jnp.float32)
+            )))
+            row.update({
+                "xla_ms": round(med_x * 1e3, 1),
+                "speedup_x": round(med_x / med_f, 3),
+                "max_hidden_diff": round(dh, 4),
+                "xla_spread": [round(w * 1e3, 1) for w in sp_x],
+            })
+        except Exception as e:  # noqa: BLE001 — the XLA arm OOMs at 8k
+            row["xla_error"] = f"{type(e).__name__}"
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -160,9 +160,11 @@ def test_bucketed_attention_matches_full_read(model_pair):
 
 
 def test_auto_prefill_chunk_selection():
-    """prefill_chunk='auto' resolves by padded prompt length (full O(P^2)
-    below the measured ~4k crossover, chunked-512 above) and still produces
-    AR==spec parity tokens."""
+    """prefill_chunk='auto' resolves by padded prompt length — since the
+    round-5 flash prefill kernel removed the O(P^2) transient, full prefill
+    wins to far past any measured crossover (8k: 763 vs 1915 ms chunked);
+    chunking engages only at extreme lengths (peak-memory control) and must
+    DIVIDE the padded length."""
     from dflash_tpu.spec.engine import SpecEngine
 
     tcfg = tiny_target_config()
@@ -173,11 +175,12 @@ def test_auto_prefill_chunk_selection():
                      prompt_cap=8192, prompt_bucket=128, prefill_chunk="auto")
     assert eng._resolve_chunk(128) is None
     assert eng._resolve_chunk(4096) is None
-    # the chunk must DIVIDE the padded length (chunked prefill asserts it):
-    # walk down 512 -> 256 -> 128 to the largest divisor
-    assert eng._resolve_chunk(4608) == 512  # 9 * 512
-    assert eng._resolve_chunk(4352) == 256  # 17 * 256, not a 512 multiple
-    assert eng._resolve_chunk(4224) == 128  # 33 * 128, neither
+    assert eng._resolve_chunk(8192) is None  # flash full prefill wins at 8k
+    # past the memory threshold the chunk must DIVIDE the padded length
+    # (chunked prefill asserts it): walk down 512 -> 256 -> 128
+    assert eng._resolve_chunk(16896) == 512  # 33 * 512
+    assert eng._resolve_chunk(16640) == 256  # 65 * 256, not a 512 multiple
+    assert eng._resolve_chunk(16512) == 128  # 129 * 128, neither
     prompt = np.random.default_rng(0).integers(0, tcfg.vocab_size - 2, size=(1, 9))
     spec = eng.generate(prompt, temperature=0.0)
     ar = eng.ar_generate(prompt, temperature=0.0)
