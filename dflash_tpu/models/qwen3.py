@@ -499,17 +499,19 @@ def forward_prefill(
     causal = (
         positions[0][:, None] >= positions[0][None, :]
     )  # [S, S] — padded rows (pos >= prompt_len) are never attended by real rows
-    # flash prefill: measured on v5e (docs/RESULTS.md TTFT table, round 5)
-    # the tiled kernel beats XLA at every supported length — 1.14x at 512,
-    # 1.43x at 2k, 1.77x at 4k, and 2.5x over the old chunked record at 8k
-    # (where XLA's full path OOMs on its own [nh, S, S] transient) — so
-    # "auto" engages it whenever the geometry allows.  Requires the
-    # positional (arange) causal structure, which forward_prefill's mask
-    # always has.
+    # flash prefill: measured crossover on v5e (docs/RESULTS.md TTFT table,
+    # round 5) — XLA wins tiny prompts by ~4-5% (128: 32.0 vs 33.6 ms),
+    # parity at 512, then the kernel wins 1.16x at 1k, 1.44x at 2k, 1.74x
+    # at 4k and 2.5x over the old chunked record at 8k (where XLA's full
+    # path OOMs on its own [nh, S, S] transient).  "auto" engages the
+    # kernel from the 512 parity point.  Requires the positional (arange)
+    # causal structure, which forward_prefill's mask always has.
     from dflash_tpu.kernels import prefill_flash as _pf
 
-    if attn_impl in ("flash", "auto"):
+    if attn_impl == "flash":
         use_flash = _pf.supported(S, d) and B == 1
+    elif attn_impl == "auto":
+        use_flash = S >= 512 and _pf.supported(S, d) and B == 1
     else:
         use_flash = False
 
